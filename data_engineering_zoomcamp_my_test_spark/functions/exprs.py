@@ -1,0 +1,44 @@
+"""Deterministic expression helpers.
+
+Money arithmetic goes through DECIMAL so aggregates are exact and therefore
+bit-identical across engines and across partitionings (double summation is
+order-dependent; decimal is not). The pattern is::
+
+    CAST(SUM(CAST(x AS DECIMAL(18,2)) * ...) AS DOUBLE)
+
+- exact decimal accumulate, single deterministic conversion to double at the
+  end. This is also the right call at 100 TB: a partial-agg tree over
+  decimals gives the same answer regardless of partition count, so results
+  are reproducible run-to-run on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+
+
+def money(col: Column | str) -> Column:
+    """Exact 2-decimal representation of a monetary double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def dmoney_sum(col: Column, alias: str) -> Column:
+    """Exact decimal SUM, surfaced as DOUBLE (deterministic)."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+def money_avg(col: Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum / count, divided as doubles
+    (matches ``CAST(SUM(dec) AS DOUBLE) / COUNT(*)`` in ANSI SQL)."""
+    return (F.sum(col).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def ts_lit(df: DataFrame, column: str, value: str) -> Column:
+    """A timestamp literal cast to the *actual* runtime type of ``column``
+    (TIMESTAMP vs TIMESTAMP_NTZ depends on the session's parquet inference
+    conf, which the verification driver controls, not us)."""
+    return F.lit(value).cast(df.schema[column].dataType)

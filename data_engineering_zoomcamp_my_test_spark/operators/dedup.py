@@ -1,0 +1,244 @@
+"""Deduplication operators over the ``documents`` table (SURVEY.md §2.3
+C1/C2/C6 + LLM-pipeline extensions).
+
+Scale design: every variant is a pure shuffle-on-key plan (groupBy text-key or
+signature-band) — no driver materialization, no cross join of the corpus.
+
+- exact dedup: hash-groupBy on the raw text (one shuffle keyed by text);
+- normalized dedup: same, keyed on a canonical text form;
+- MinHash/LSH: per-doc signatures (narrow, JVM-side or Arrow-batched) then a
+  shuffle keyed by (band, band-hash) so only same-bucket docs ever meet —
+  the standard sub-quadratic near-dup pipeline at 100 TB;
+- token-Jaccard verification joins only within candidate buckets.
+
+The representative row of each duplicate group is chosen by MIN(doc_id) — a
+deterministic policy (``dropDuplicates`` keeps an arbitrary row, which would
+be partitioning-dependent and unverifiable).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import normalized_text
+from ..sources.tables import load_table
+
+# MinHash parameters: h_i(x) = (a_i * x + b_i) mod P, P Mersenne-ish prime.
+_MINHASH_PRIME = (1 << 61) - 1
+_N_HASHES = 32
+_N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.5
+_SHINGLE_K = 3
+
+
+def _hash_params(n: int = _N_HASHES) -> list[tuple[int, int]]:
+    # Deterministic params from a fixed LCG (no RNG dependency).
+    params, x = [], 88172645463325252
+    for _ in range(2 * n):
+        x ^= (x << 13) & ((1 << 64) - 1)
+        x ^= x >> 7
+        x ^= (x << 17) & ((1 << 64) - 1)
+        params.append(x % _MINHASH_PRIME)
+    return [(params[2 * i] or 1, params[2 * i + 1]) for i in range(n)]
+
+
+_PARAMS = _hash_params()
+
+
+def _minhash_sig(text: str) -> list[int]:
+    toks = text.split()
+    shingles = {
+        zlib.crc32(" ".join(toks[i : i + _SHINGLE_K]).encode())
+        for i in range(max(1, len(toks) - _SHINGLE_K + 1))
+    }
+    sig = []
+    for a, b in _PARAMS:
+        sig.append(min((a * s + b) % _MINHASH_PRIME for s in shingles))
+    return sig
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature(texts: pd.Series) -> pd.Series:
+    """Arrow-batched MinHash signature (C6). Python is unavoidable for the
+    shingling+hash loop, so it runs vectorized per batch, not per row."""
+    return texts.map(_minhash_sig)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct key, deterministic representative."""
+    others = [c for c in df.columns if c not in key_cols and c != id_col]
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+        *[F.min_by(c, id_col).alias(c) for c in others],
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> (band, band_hash) pairs; equal band_hash = LSH candidate."""
+    rows_per_band = _N_HASHES // _N_BANDS
+    sig = docs.withColumn("sig", minhash_signature(F.col(text_col)))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    return bands
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, band_hash) bucket.
+    The only join is keyed on the bucket — sub-quadratic by construction."""
+    bands = minhash_bands(docs)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard similarity for all pairs sharing >= 1 token.
+    Shuffle is keyed by token; use on bounded corpora or post-LSH candidates
+    (at 100 TB run ``lsh_candidate_pairs`` first and verify only candidates).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- declared queries ---------------------------------------------------------
+
+def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "text", "n_copies")
+    )
+
+
+def c2_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("norm_text", normalized_text("text"))
+        .groupBy("norm_text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "norm_text", "n_copies")
+    )
+
+
+def c6_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_bands(docs)
+
+
+def c6_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+def c17_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(docs, threshold=0.5)
+
+
+QUERIES = {
+    "c1_dedup_exact": c1_dedup_exact,
+    "c2_dedup_norm": c2_dedup_norm,
+    "c6_minhash": c6_minhash,
+    "c6_lsh_dup_pairs": c6_lsh_dup_pairs,
+    "c17_jaccard_pairs": c17_jaccard_pairs,
+}
+
+ORACLE = {
+    "c1_dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "c2_dedup_norm": """
+        SELECT MIN(doc_id) AS doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS norm_text,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 2
+    """,
+    # c6_minhash / c6_lsh_dup_pairs: custom hash pipeline, rows-only check.
+    "c17_jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+          FROM toks a JOIN toks b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
+    """,
+}

@@ -1,0 +1,217 @@
+"""Event-stream batch operators over ``events`` (SURVEY.md §2.3 C7-C10):
+tumbling/sliding windows, sessionization, JSON extraction.
+
+The batch shapes here are the exact groupBy analogs of the Structured
+Streaming operators in streaming/windows.py — same window semantics
+(epoch-aligned, [start, end)), so batch results replay-match streaming ones.
+
+Window starts are surfaced as epoch microseconds (BIGINT) rather than raw
+timestamps: deterministic, timezone-free, and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dmoney_sum, money
+from ..sources.tables import load_table
+
+SESSION_GAP_MINUTES = 30
+
+
+def c7_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def c8_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+def sessionize(
+    ev: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds the gap. Lag + running-sum formulation —
+    one shuffle keyed by user, deterministic total order within user."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev_us = F.lag(ts_us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_us), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("session_seq", F.sum(new_session).over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(ts_us).alias("session_start_us"),
+            F.max(ts_us).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+    )
+
+
+def c9_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "session_seq",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "total_value",
+    )
+
+
+def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def c21_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def c22_hourly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event type per hour — window-over-windowed-agg composition."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = W.partitionBy("window_start_us").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start_us", "event_type", "n_events")
+    )
+
+
+QUERIES = {
+    "c7_tumbling": c7_tumbling,
+    "c8_sliding": c8_sliding,
+    "c9_session": c9_session,
+    "c10_json_extract": c10_json_extract,
+    "c21_json_agg": c21_json_agg,
+    "c22_hourly_top_event": c22_hourly_top_event,
+}
+
+_MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+ORACLE = {
+    "c7_tumbling": f"""
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+               event_type, COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "c8_sliding": f"""
+        WITH starts AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+          FROM events
+        )
+        SELECT CAST(epoch_us(w_start) AS BIGINT) AS window_start_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM starts GROUP BY 1 ORDER BY 1
+    """,
+    "c9_session": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                        > {SESSION_GAP_MINUTES} * 60 * 1000000
+                      OR LAG(epoch_us(ts)) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+    "c10_json_extract": """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "c21_json_agg": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS k_avg
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "c22_hourly_top_event": """
+        SELECT window_start_us, event_type, n_events FROM (
+          SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+                 event_type, COUNT(*) AS n_events,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY date_trunc('hour', ts), event_type
+        ) t WHERE rn = 1
+    """,
+}

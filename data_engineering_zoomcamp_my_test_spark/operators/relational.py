@@ -1,0 +1,721 @@
+"""Tier-B relational operator catalog (SURVEY.md §2.2, b1-b27).
+
+The reference exposed this surface by forwarding arbitrary user SQL to
+PostgreSQL (reference week_1/data_ingest/data_ingest.py:130); here each
+operator family is a first-class Spark plan built with the DataFrame API (or
+``spark.sql`` where the construct is SQL-native: correlated subqueries, CTEs),
+optimized by Catalyst.
+
+Scale notes baked into the shapes below:
+- joins put the bounded dimension on the broadcast side (``F.broadcast``)
+  where cardinality is structurally bounded (region/nation/supplier), and
+  leave fact-fact joins to AQE (sort-merge w/ skew splitting);
+- aggregates rely on partial aggregation (map-side combine) — automatic for
+  all ``groupBy().agg()`` plans;
+- monetary aggregates use exact DECIMAL accumulation (functions/exprs.py) so
+  results are partition-order independent — identical answers on 1 or 1000
+  executors;
+- window functions always carry a total order (tie-broken on unique keys) so
+  running aggregates are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dmoney_sum, money, money_avg, ts_lit
+from ..sources.tables import load_table, register_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- B1: filter / predicates (TPC-H Q6 shape) -------------------------------
+
+def b1_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1995-01-01"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+# --- B2: projection with scalar expressions ---------------------------------
+
+def b2_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "2001-01-01")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --- B3: hash aggregate (TPC-H Q1 shape) — the flagship query ---------------
+
+def b3_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = ts_lit(li, "l_shipdate", "2001-09-02")
+    disc_price = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    charge = disc_price * (F.lit(1) + money("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dmoney_sum(money("l_quantity"), "sum_qty"),
+            dmoney_sum(money("l_extendedprice"), "sum_base_price"),
+            dmoney_sum(disc_price, "sum_disc_price"),
+            dmoney_sum(charge, "sum_charge"),
+            money_avg(money("l_quantity"), "avg_qty"),
+            money_avg(money("l_extendedprice"), "avg_price"),
+            money_avg(money("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- B4: DISTINCT / COUNT(DISTINCT) -----------------------------------------
+
+def b4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- B5: approximate distinct (HLL++) — rows-only check ---------------------
+
+def b5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# --- B6: equi inner join (broadcast dim) -------------------------------------
+
+def b6_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            dmoney_sum(money("o_totalprice"), "total_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- B7: multi-way join (TPC-H Q5 shape) -------------------------------------
+
+def b7_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dmoney_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --- B8: left outer join ------------------------------------------------------
+
+def b8_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_f_orders"))
+    )
+
+
+# --- B9: anti join (NOT EXISTS) ----------------------------------------------
+
+def b9_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- B9b: semi join (EXISTS) --------------------------------------------------
+
+def b9_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return supplier.join(
+        big, supplier.s_suppkey == big.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --- B10: range (theta) join ---------------------------------------------------
+
+def b10_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") >= F.col("p_size") - 5)
+            & (F.col("l_quantity") <= F.col("p_size") + 5),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dmoney_sum(money("l_extendedprice"), "sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- B11: cross join -----------------------------------------------------------
+
+def b11_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+# --- B12: correlated scalar subquery (TPC-H Q17 shape) — SQL-native ----------
+
+_B12_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def b12_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_B12_SQL)
+
+
+# --- B13: ROLLUP ----------------------------------------------------------------
+
+def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dmoney_sum(rev, "revenue"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- B14: ranking window ---------------------------------------------------------
+
+def b14_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- B15: analytic window (LAG) ---------------------------------------------------
+
+def b15_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(money("o_totalprice")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (money("o_totalprice") - prev).cast("double").alias("price_delta"),
+    )
+
+
+# --- B16: aggregate window with frame (running sum) -------------------------------
+
+def b16_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1995-07-01"))
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(money("l_extendedprice")).over(w).cast("double").alias("running_rev"),
+    )
+
+
+# --- B17: multi-key sort (via top-k selection so order is verified) ---------------
+
+def b17_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(50)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --- B18: top-K (TPC-H Q3-ish revenue ranking) -------------------------------------
+
+def b18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(dmoney_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- B19: set operations -------------------------------------------------------------
+
+def b19_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    tag = lambda df, t: df.agg(F.count(F.lit(1)).alias("n")).select(  # noqa: E731
+        F.lit(t).alias("op"), "n"
+    )
+    return (
+        tag(y95.subtract(y96), "except")
+        .unionAll(tag(y95.intersect(y96), "intersect"))
+        .unionAll(tag(y95.union(y96).distinct(), "union"))
+    )
+
+
+# --- B20: CASE WHEN --------------------------------------------------------------------
+
+def b20_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dmoney_sum(money("o_totalprice"), "total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- B21: string functions ----------------------------------------------------------------
+
+def b21_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).cast("bigint").alias("name_num"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+# --- B22: date/time functions ----------------------------------------------------------------
+
+def b22_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dmoney_sum(money("o_totalprice"), "monthly_total"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+# --- B23: math functions --------------------------------------------------------------------
+
+def b23_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    charge = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge, 0).cast("double").alias("charge_round"),
+        F.abs(money("l_extendedprice") - F.lit(1000)).cast("double").alias("abs_diff"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 2).cast("bigint").alias("half_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+# --- B24: null handling -------------------------------------------------------------------------
+
+def b24_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    joined = customer.join(
+        pend, customer.c_custkey == pend.o_custkey, "left"
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(money("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "p_total"
+            ),
+            F.nullif(F.count("o_orderkey"), F.lit(0)).alias("n_p_orders"),
+        )
+    )
+
+
+# --- B25: CAST / type coercion -------------------------------------------------------------------
+
+def b25_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+    )
+
+
+# --- B26: CTE / derived tables — SQL-native ------------------------------------------------------
+
+_B26_SQL = """
+WITH nation_rev AS (
+  SELECT n.n_name AS n_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+avg_rev AS (SELECT AVG(rev) AS a FROM nation_rev)
+SELECT nr.n_name, nr.rev, nr.n_orders
+FROM nation_rev nr, avg_rev
+WHERE nr.rev > avg_rev.a
+ORDER BY nr.rev DESC, nr.n_name
+"""
+
+
+def b26_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_B26_SQL)
+
+
+# --- B27: HAVING -----------------------------------------------------------------------------------
+
+def b27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 50)
+        .orderBy("n_name")
+    )
+
+
+QUERIES = {
+    "b1_filter_pred": b1_filter_pred,
+    "b2_project_expr": b2_project_expr,
+    "b3_groupby_agg": b3_groupby_agg,
+    "b4_distinct": b4_distinct,
+    "b5_approx_distinct": b5_approx_distinct,
+    "b6_join_inner": b6_join_inner,
+    "b7_join_multiway": b7_join_multiway,
+    "b8_join_left": b8_join_left,
+    "b9_join_anti": b9_join_anti,
+    "b9_join_semi": b9_join_semi,
+    "b10_join_range": b10_join_range,
+    "b11_cross": b11_cross,
+    "b12_subq_scalar": b12_subq_scalar,
+    "b13_rollup": b13_rollup,
+    "b14_win_rank": b14_win_rank,
+    "b15_win_lag": b15_win_lag,
+    "b16_win_frame": b16_win_frame,
+    "b17_sort": b17_sort,
+    "b18_topk": b18_topk,
+    "b19_setops": b19_setops,
+    "b20_case": b20_case,
+    "b21_string_fns": b21_string_fns,
+    "b22_date_fns": b22_date_fns,
+    "b23_math_fns": b23_math_fns,
+    "b24_nulls": b24_nulls,
+    "b25_cast": b25_cast,
+    "b26_cte": b26_cte,
+    "b27_having": b27_having,
+}
+
+_MONEY = "DECIMAL(18,2)"
+_REV = f"CAST(l_extendedprice AS {_MONEY}) * (1 - CAST(l_discount AS {_MONEY}))"
+
+ORACLE = {
+    "b1_filter_pred": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "b2_project_expr": f"""
+        SELECT l_orderkey, l_linenumber, CAST({_REV} AS DOUBLE) AS revenue
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    """,
+    "b3_groupby_agg": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS {_MONEY})) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS {_MONEY})) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_REV} * (1 + CAST(l_tax AS {_MONEY}))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS {_MONEY})) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS {_MONEY})) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS {_MONEY})) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "b4_distinct": """
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "b6_join_inner": """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "b7_join_multiway": f"""
+        SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "b8_join_left": """
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_f_orders
+        FROM customer LEFT JOIN (
+          SELECT * FROM orders WHERE o_orderstatus = 'F'
+        ) f ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "b9_join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    "b9_join_semi": """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+        )
+    """,
+    "b10_join_range": f"""
+        SELECT p_brand, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS {_MONEY})) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey
+         AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "b11_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "b12_subq_scalar": _B12_SQL,
+    "b13_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "b14_win_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) t WHERE rn <= 3
+    """,
+    "b15_win_lag": """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) - LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS DOUBLE) AS price_delta
+        FROM orders
+    """,
+    "b16_win_frame": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_rev
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+    """,
+    "b17_sort": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC LIMIT 50
+    """,
+    "b18_topk": f"""
+        SELECT l_orderkey, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "b19_setops": """
+        SELECT 'except' AS op, COUNT(*) AS n FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+        UNION ALL
+        SELECT 'union', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+          UNION
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+    """,
+    "b20_case": """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+    "b21_string_fns": """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               SUBSTRING(c_name, 1, 8) AS name_prefix,
+               CAST(LENGTH(c_name) AS INT) AS name_len,
+               CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+               concat_ws('-', c_mktsegment, c_name) AS seg_name
+        FROM customer
+    """,
+    "b22_date_fns": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(month(o_orderdate) AS INT) AS o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
+        FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month
+    """,
+    "b23_math_fns": f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND({_REV}, 0) AS DOUBLE) AS charge_round,
+               CAST(ABS(CAST(l_extendedprice AS {_MONEY}) - 1000) AS DOUBLE) AS abs_diff,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(CEIL(l_quantity / 2) AS BIGINT) AS half_ceil,
+               l_orderkey % 7 AS key_mod7
+        FROM lineitem WHERE l_orderkey < 100
+    """,
+    "b24_nulls": """
+        SELECT c_custkey,
+               COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS p_total,
+               NULLIF(COUNT(o_orderkey), 0) AS n_p_orders
+        FROM customer LEFT JOIN (
+          SELECT * FROM orders WHERE o_orderstatus = 'P'
+        ) p ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "b25_cast": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS INT) AS qty_int,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+               CAST(l_orderkey AS VARCHAR) AS key_str,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+        FROM lineitem WHERE l_orderkey < 200
+    """,
+    "b26_cte": _B26_SQL,
+    "b27_having": """
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING COUNT(*) > 50 ORDER BY n_name
+    """,
+}

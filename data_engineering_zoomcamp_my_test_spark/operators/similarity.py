@@ -1,0 +1,242 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.3 C3/C4).
+
+Three tiers, mirroring how ANN is actually run at scale:
+
+1. **Brute-force cosine top-k** — exact baseline. One broadcast of the query
+   vector(s); similarity is a JVM-side higher-order expression
+   (``zip_with``+``aggregate``, see functions/vectors.py) — no Python in the
+   scan loop, scales linearly with executors.
+2. **All-pairs kNN** — exact, for bounded corpora; a blocked cross join.
+3. **LSH / IVF** — the 100 TB paths: MLlib BucketedRandomProjectionLSH
+   (bucket join instead of cross join) and a KMeans-IVF (probe only the
+   query's cell) built on first principles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..sources.tables import load_table
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row. ``query`` is
+    broadcast (assumed bounded); the corpus side streams."""
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    sim = (
+        embeddings.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def lsh_ann(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate NN via random-projection LSH (MLlib). The scale path: the
+    corpus is hashed once; lookups touch only matching buckets."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    data = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(data)
+    res = model.approxNearestNeighbors(
+        data, Vectors.dense(query_vec), k, distCol="l2_dist"
+    )
+    return res.select("vec_id", "label", "l2_dist")
+
+
+def ivf_index(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 42
+) -> tuple["object", DataFrame]:
+    """Build a KMeans-IVF index: corpus partitioned into Voronoi cells.
+    Returns (kmeans_model, assigned_corpus). At scale the assignment column
+    becomes the physical partition key of the stored index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(data)
+    return model, model.transform(data)
+
+
+def ivf_search(
+    model: "object",
+    assigned: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search only the ``n_probe`` cells nearest to each query vector, then
+    exact cosine within those cells — the IVF recall/efficiency trade."""
+    import numpy as np
+
+    centers = model.clusterCenters()
+
+    @F.udf("array<int>")
+    def nearest_cells(vec):
+        v = np.asarray(vec, dtype="float64")
+        d = [float(np.linalg.norm(v - c)) for c in centers]
+        return [int(i) for i in np.argsort(d)[:n_probe]]
+
+    q = query.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.explode(nearest_cells("embedding")).alias("cell"),
+    )
+    sim = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("embedding", "query_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# --- declared queries ---------------------------------------------------------
+
+def c3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=10)
+
+
+def c13_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk(emb, queries, k=3)
+
+
+def c4_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    ]
+    return lsh_ann(emb, qvec, k=10)
+
+
+def c19_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, assigned = ivf_index(emb, n_cells=8)
+    assigned = assigned.persist()
+    return ivf_search(model, assigned, emb.filter(F.col("vec_id") == 1), k=10)
+
+
+def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95), blocked by
+    label to bound the pair space (the label is a cheap blocking key; at
+    scale the block key comes from LSH buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
+
+
+QUERIES = {
+    "c3_cosine_topk": c3_cosine_topk,
+    "c13_knn_all": c13_knn_all,
+    "c4_lsh_knn": c4_lsh_knn,
+    "c19_ivf_knn": c19_ivf_knn,
+    "c18_embed_neardup": c18_embed_neardup,
+}
+
+_COS = (
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+ORACLE = {
+    "c3_cosine_topk": f"""
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               {_COS} AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY {_COS} DESC, a.vec_id) AS INT) AS rank
+        FROM embeddings a, (SELECT * FROM embeddings WHERE vec_id = 1) b
+        WHERE a.vec_id <> b.vec_id
+        ORDER BY rank LIMIT 10
+    """,
+    "c13_knn_all": f"""
+        SELECT * FROM (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 {_COS} AS cosine_sim,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY {_COS} DESC, a.vec_id) AS INT) AS rank
+          FROM embeddings a, (SELECT * FROM embeddings WHERE vec_id < 20) b
+          WHERE a.vec_id <> b.vec_id
+        ) t WHERE rank <= 3
+    """,
+    # c4_lsh_knn / c19_ivf_knn: approximate operators, rows-only check.
+    "c18_embed_neardup": f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {_COS} AS cosine_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.9
+    """,
+}

@@ -1,0 +1,163 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.3 C5 +
+LLM-pipeline extensions: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is JVM-side expression work (split / regexp / higher-order
+array functions / arithmetic) — zero Python UDFs, so the operators run inside
+whole-stage codegen and scale with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    ENGLISH_STOPWORDS,
+    TOKEN_REGEX,
+    english_stopword_hits,
+    normalized_text,
+    token_count,
+)
+from ..sources.tables import load_table
+
+# Polynomial rolling-hash fingerprint over the normalized text characters:
+# acc = (acc * 31 + ascii(char)) mod 1_000_000_007. Same arithmetic is
+# expressible in oracle SQL, so the fingerprints are verifiable.
+_FP_MOD = 1_000_000_007
+
+
+def fingerprint(col) -> F.Column:
+    c = col if isinstance(col, str) else None
+    expr = (
+        f"aggregate(split({c}, ''), 0L, "
+        f"(acc, ch) -> (acc * 31 + ascii(ch)) % {_FP_MOD})"
+    )
+    return F.expr(expr)
+
+
+def c5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (
+                F.sum(token_count("text")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def c14_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("int")
+        .alias("n_re_tokens"),
+    )
+
+
+def c15_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English function-word hit ratio. Outputs the
+    signal and the binary decision; the real label column lets recall be
+    audited downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count("text").cast("double")
+    hits = english_stopword_hits("text").cast("double")
+    ratio = hits / ntok
+    return docs.select(
+        "doc_id",
+        "lang",
+        (hits.cast("int")).alias("stopword_hits"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.1, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def c16_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count("text").cast("double")
+    hits = english_stopword_hits("text").cast("double")
+    nchars = F.col("n_chars").cast("double")
+    stop_ratio = hits / ntok
+    avg_word_len = nchars / ntok
+    score = stop_ratio * F.lit(0.5) + (
+        F.lit(1.0) / (F.lit(1.0) + F.abs(avg_word_len - F.lit(5.0)))
+    ) * F.lit(0.5)
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def c20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("norm_text", normalized_text("text")).select(
+        "doc_id", fingerprint("norm_text").alias("fp")
+    )
+
+
+QUERIES = {
+    "c5_text_stats": c5_text_stats,
+    "c14_token_count": c14_token_count,
+    "c15_langid": c15_langid,
+    "c16_quality": c16_quality,
+    "c20_fingerprint": c20_fingerprint,
+}
+
+_STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+_NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+_HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
+
+ORACLE = {
+    "c5_text_stats": """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    "c14_token_count": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_re_tokens
+        FROM documents
+    """,
+    "c15_langid": f"""
+        SELECT doc_id, lang,
+               CAST({_HITS} AS INT) AS stopword_hits,
+               {_HITS} / {_NTOK} AS stopword_ratio,
+               CASE WHEN {_HITS} / {_NTOK} >= 0.1 THEN 'en' ELSE 'other' END AS pred_lang
+        FROM documents
+    """,
+    "c16_quality": f"""
+        SELECT doc_id,
+               CAST({_NTOK} AS INT) AS n_tokens,
+               {_HITS} / {_NTOK} AS stopword_ratio,
+               CAST(n_chars AS DOUBLE) / {_NTOK} AS avg_word_len,
+               ({_HITS} / {_NTOK}) * 0.5
+                 + (1.0 / (1.0 + ABS(CAST(n_chars AS DOUBLE) / {_NTOK} - 5.0))) * 0.5
+                 AS quality_score
+        FROM documents
+    """,
+    "c20_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
+        FROM documents
+    """,
+}

@@ -1,0 +1,80 @@
+"""Loaders for the engine's star-schema + LLM-pipeline tables.
+
+Tables (TPC-H-ish star schema plus ``events``/``documents``/``embeddings``)
+live as one parquet file per table under a scale-factor directory. Loading is
+a plain ``spark.read.parquet`` — columnar scan, predicate pushdown and column
+pruning come free from Catalyst — with one normalization: ``events.ts`` is
+written as parquet TIMESTAMP(NANOS), which Spark's vectorized reader cannot
+represent; we scan it as raw int64 nanos (``spark.sql.legacy.parquet
+.nanosAsLong``) and convert to a microsecond timestamp (``timestamp_micros(ns
+div 1000)``), matching the micro truncation every micro-precision engine
+(including the DuckDB oracle) applies.
+
+At 100 TB each "file" becomes a directory of many parquet parts (possibly
+hive-partitioned); nothing here assumes single-file inputs — paths are passed
+straight to the reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are safely broadcastable at any realistic scale
+# (region/nation are fixed-cardinality; supplier/part grow slowly with SF).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table from ``sf_dir``. Normalizes ``events.ts``."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        _ensure_nanos_conf(spark)
+        df = spark.read.parquet(path)
+        # ts scanned as int64 nanoseconds-since-epoch; truncate to micros.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load all tables and register each as a temp view for ``spark.sql``.
+
+    This is the catalog-registration step that makes the SQL-passthrough
+    surface (reference week_1/data_ingest/data_ingest.py:106-132, which
+    forwarded user SQL to PostgreSQL) work natively: after this, any SQL over
+    the table names executes on Catalyst.
+    """
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -50,23 +50,31 @@ def _hash_params(n: int = _N_HASHES) -> list[tuple[int, int]]:
 _PARAMS = _hash_params()
 
 
-def _minhash_sig(text: str) -> list[int]:
-    toks = text.split()
-    shingles = {
-        zlib.crc32(" ".join(toks[i : i + _SHINGLE_K]).encode())
-        for i in range(max(1, len(toks) - _SHINGLE_K + 1))
-    }
-    sig = []
-    for a, b in _PARAMS:
-        sig.append(min((a * s + b) % _MINHASH_PRIME for s in shingles))
-    return sig
+def _make_minhash_udf():
+    """Arrow-batched MinHash signature UDF (C6). Python is unavoidable for
+    the shingling+hash loop, so it runs vectorized per batch, not per row.
+
+    Built as a local closure so cloudpickle serializes it **by value**:
+    Python workers don't need this package importable (the engine may be
+    driven from any cwd / sys.path arrangement)."""
+    params, prime, k = _PARAMS, _MINHASH_PRIME, _SHINGLE_K
+    crc32 = zlib.crc32
+
+    def sig_of(text: str) -> list[int]:
+        toks = text.split()
+        shingles = {
+            crc32(" ".join(toks[i : i + k]).encode())
+            for i in range(max(1, len(toks) - k + 1))
+        }
+        return [min((a * s + b) % prime for s in shingles) for a, b in params]
+
+    def batch(texts: pd.Series) -> pd.Series:
+        return texts.map(sig_of)
+
+    return F.pandas_udf(T.ArrayType(T.LongType()))(batch)
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def minhash_signature(texts: pd.Series) -> pd.Series:
-    """Arrow-batched MinHash signature (C6). Python is unavoidable for the
-    shingling+hash loop, so it runs vectorized per batch, not per row."""
-    return texts.map(_minhash_sig)
+minhash_signature = _make_minhash_udf()
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing (SURVEY.md §2.3 C12).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns with
+typed metadata. The Spark-side mechanics — schema, Arrow batch shape,
+``mapInPandas`` pipeline, partition sizing — are real and tested; the actual
+media decode is STUBBED (`decode_stub=True` produces deterministic fake
+features; `decode_stub=False` raises NotImplementedError) because no media
+libraries ship in this environment. Swapping the stub for PIL/librosa/ffmpeg
+changes only the inner function body, not the distributed plan.
+
+Design for 100 TB: media bytes never leave the executor (no collect); the
+feature extractor is an Arrow-batched iterator so one task streams many
+small batches instead of materializing a partition; metadata-only operations
+(filtering by size/kind) are pure column ops that never touch the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes int, "
+    "checksum bigint, feat array<float>"
+)
+
+_FEAT_DIM = 8
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Everything the workers run is defined locally (closure) so cloudpickle
+    ships it by value — no package import needed on executors."""
+    dim = _FEAT_DIM
+
+    def _fake_decode(payload: bytes) -> list[float]:
+        # Deterministic stand-in for a media decoder. Replace with real decode.
+        if not payload:
+            return [0.0] * dim
+        acc = [0] * dim
+        for i, b in enumerate(payload):
+            acc[i % dim] = (acc[i % dim] * 31 + b) % 997
+        return [a / 997.0 for a in acc]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa/ffmpeg; "
+                    "install and replace _fake_decode"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "checksum": payloads.map(
+                        lambda b: sum(b) % 1_000_000_007 if b else 0
+                    ),
+                    "feat": payloads.map(
+                        lambda b: _fake_decode(bytes(b) if b is not None else b"")
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def filter_by_metadata(
+    media: DataFrame,
+    kinds: list[str] | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Metadata-only pruning — never touches the payload bytes, so Parquet
+    column pruning keeps the heavy binary column unread where possible."""
+    out = media
+    if kinds:
+        out = out.filter(F.col("kind").isin(kinds))
+    if max_bytes is not None:
+        out = out.filter(F.length("payload") <= max_bytes)
+    return out

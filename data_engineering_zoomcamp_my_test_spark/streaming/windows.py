@@ -1,0 +1,83 @@
+"""Structured Streaming operators (SURVEY.md §2.3 C11).
+
+Streaming analog of operators/events.py: watermarked tumbling-window
+aggregation over the events stream. The batch and streaming formulations
+share one aggregation builder, so replaying the same rows through the stream
+provably produces the batch answer (the parity test in
+tests/test_streaming.py).
+
+At scale this runs over a real source (Kafka/file drops) with the watermark
+bounding state; in tests the parquet-backed file source + ``memory`` sink
+drive it synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dmoney_sum, money
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _windowed_agg(df: DataFrame, window: str) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def batch_tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    return _windowed_agg(events, window)
+
+
+def streaming_tumbling_agg(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked streaming aggregation over a file-drop directory of
+    parquet event batches (micro-precision ts)."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return _windowed_agg(stream.withWatermark("ts", watermark), window)
+
+
+def run_streaming_tumbling_agg(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "stream_out",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drive the streaming agg to completion over the files currently in
+    ``source_dir`` (complete mode -> memory sink) and return the result."""
+    agg = streaming_tumbling_agg(spark, source_dir, window, watermark)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,47 @@
+"""C12: multimodal binary-column plumbing — schema, Arrow batch shape,
+metadata pruning. Decode itself is stubbed (no media libs in this env)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    filter_by_metadata,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", bytes([1, 2, 3, 4]), 2, 2, None),
+        (2, "image", bytes(range(64)), 8, 8, None),
+        (3, "audio", bytes([9] * 128), None, None, 1000),
+        (4, "video", None, 16, 16, 2500),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_feature_extraction_shape(spark, media_df):
+    feats = extract_features(media_df)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_bytes == 4
+    assert rows[4].n_bytes == 0  # null payload handled
+    assert all(len(r.feat) == 8 for r in rows.values())
+    # determinism: same payload -> same features
+    again = {r.media_id: r for r in extract_features(media_df).collect()}
+    assert all(rows[k].feat == again[k].feat for k in rows)
+
+
+def test_metadata_pruning_never_reads_payload(spark, media_df):
+    imgs = filter_by_metadata(media_df, kinds=["image"])
+    assert imgs.count() == 2
+    small = filter_by_metadata(media_df, kinds=["image", "audio"], max_bytes=16)
+    assert {r.media_id for r in small.collect()} == {1}
+
+
+def test_real_decode_is_explicit_stub(spark, media_df):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media_df, decode_stub=False).collect()

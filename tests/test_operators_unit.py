@@ -1,0 +1,128 @@
+"""Unit tests on inline micro-fixtures (SURVEY.md §5.2 / FIXTURES.md §4):
+empty input, all-null keys, duplicate keys, skewed keys, regex
+metacharacters, exact-gap-boundary sessions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_my_test_spark.functions.text import normalized_text
+from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    token_jaccard_pairs,
+)
+from data_engineering_zoomcamp_my_test_spark.operators.events import sessionize
+from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def test_exact_dedup_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa", "s1"), (2, "aaa", "s2"), (3, "bbb", "s3"), (4, "aaa", "s4")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.text: r for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out["aaa"].doc_id == 1 and out["aaa"].n_copies == 3
+    assert out["aaa"].source == "s1"  # representative fields follow min id
+    assert out["bbb"].doc_id == 3 and out["bbb"].n_copies == 1
+
+
+def test_exact_dedup_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(df, ["text"], "doc_id").count() == 0
+
+
+def test_dedup_null_keys_group_together(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_normalized_text_strips_punct_case_space(spark):
+    df = spark.createDataFrame(
+        [("Hello,   WORLD!!",), ("hello world",)], "text string"
+    )
+    vals = [r[0] for r in df.select(normalized_text("text")).collect()]
+    assert vals[0] == vals[1] == "hello world"
+
+
+def test_lsh_finds_identical_docs_and_skips_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_token_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in token_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert abs(rows[(1, 2)] - 3 / 5) < 1e-12
+    assert (1, 3) not in rows  # no shared tokens -> never a candidate
+
+
+def test_sessionize_gap_boundary(spark):
+    """Events exactly at the gap boundary stay in-session (> gap, not >=)."""
+    base = "2024-01-01 00:00:00"
+    df = spark.createDataFrame(
+        [
+            (1, base, 10),
+            (2, "2024-01-01 00:30:00", 10),   # exactly 30 min -> same session
+            (3, "2024-01-01 01:00:01", 10),   # 30m01s -> new session
+            (4, base, 20),                     # other user independent
+        ],
+        "event_id long, ts_s string, user_id long",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        F.lit(1.0).alias("value"),
+    )
+    out = sessionize(df, gap_minutes=30)
+    per_user = {
+        (r.user_id, r.session_seq): r.n_events for r in out.collect()
+    }
+    assert per_user[(10, 1)] == 2
+    assert per_user[(10, 2)] == 1
+    assert per_user[(20, 1)] == 1
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),     # identical -> sim 1.0, rank 1
+            (3, [0.9, 0.1]),
+            (4, [-1.0, 0.0]),    # opposite -> sim -1.0, last
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(df, df.filter("vec_id = 1"), k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [2, 3, 4]
+    assert all(r.neighbor_id != 1 for r in out)
+
+
+def test_skewed_group_key(spark):
+    """90% of rows share one key — partial aggregation + AQE must still
+    produce exact counts."""
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, k string").repartition(16)
+    out = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert out == {"hot": 9000, "cold": 1000}

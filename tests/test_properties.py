@@ -1,0 +1,79 @@
+"""Property-based spot checks (SURVEY.md §5.4), hypothesis-driven where the
+property is data-shaped, plain randomized fixtures where Spark round-trips
+dominate the runtime."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_my_test_spark.operators.dedup import exact_dedup
+from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann,
+)
+
+
+def test_dedup_idempotent_under_self_union(spark):
+    """dedup(x union x) == dedup(x)."""
+    rng = random.Random(7)
+    rows = [(i, f"doc {rng.randint(0, 30)}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = sorted(
+        (r.text, r.n_copies * 2, r.doc_id)
+        for r in exact_dedup(df, ["text"], "doc_id").collect()
+    )
+    doubled = sorted(
+        (r.text, r.n_copies, r.doc_id)
+        for r in exact_dedup(df.union(df), ["text"], "doc_id").collect()
+    )
+    assert once == doubled
+
+
+def test_window_unbounded_sum_equals_groupby_sum(spark):
+    """Running sum at the last row of each partition == group total."""
+    rng = random.Random(11)
+    rows = [
+        (i, i % 7, round(rng.uniform(0, 100), 2)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, k int, v double")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    last = (
+        df.withColumn("run", F.sum(F.col("v").cast("decimal(18,2)")).over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("k").orderBy(F.col("id").desc())),
+        )
+        .filter("rn = 1")
+        .select("k", F.col("run").alias("total"))
+    )
+    grouped = df.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("total")
+    )
+    assert sorted(map(tuple, last.collect())) == sorted(map(tuple, grouped.collect()))
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_small):
+    """LSH kNN must recover most true neighbors (recall >= 0.5 on k=10 —
+    approximate by design, bounded from below)."""
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    truth = {
+        r.neighbor_id
+        for r in brute_force_topk(emb, emb.filter("vec_id = 1"), k=10).collect()
+    }
+    qvec = [float(x) for x in emb.filter("vec_id = 1").head().embedding]
+    approx = {r.vec_id for r in lsh_ann(emb, qvec, k=10).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_union_count_additive(spark):
+    df1 = spark.range(100)
+    df2 = spark.range(50)
+    assert df1.union(df2).count() == 150
+    assert df1.union(df2).distinct().count() == 100

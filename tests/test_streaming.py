@@ -1,0 +1,49 @@
+"""C11: streaming/batch parity — the same events replayed through a
+watermarked Structured Streaming query must equal the batch aggregation."""
+
+from __future__ import annotations
+
+import os
+
+from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+from data_engineering_zoomcamp_my_test_spark.streaming import (
+    batch_tumbling_agg,
+    run_streaming_tumbling_agg,
+)
+
+
+def test_streaming_batch_parity(spark, sf_small, tmp_path):
+    events = load_table(spark, sf_small, "events")
+
+    # Re-land the events as micro-precision parquet "file drops" (several
+    # files so the stream sees multiple micro-batches).
+    drop_dir = str(tmp_path / "drops")
+    events.repartition(4).write.parquet(drop_dir)
+
+    batch = batch_tumbling_agg(spark.read.parquet(drop_dir))
+    stream = run_streaming_tumbling_agg(spark, drop_dir, query_name="parity_out")
+
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s
+    assert len(b) > 0
+
+
+def test_streaming_is_incremental(spark, sf_small, tmp_path):
+    """Late-arriving file lands -> rerun picks it up (file-source replay)."""
+    events = load_table(spark, sf_small, "events")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+
+    drop_dir = str(tmp_path / "drops2")
+    first.write.parquet(drop_dir)
+    out1 = run_streaming_tumbling_agg(spark, drop_dir, query_name="inc_out1")
+    n1 = out1.agg({"n_events": "sum"}).collect()[0][0]
+
+    second.write.mode("append").parquet(drop_dir)
+    out2 = run_streaming_tumbling_agg(spark, drop_dir, query_name="inc_out2")
+    n2 = out2.agg({"n_events": "sum"}).collect()[0][0]
+
+    assert n1 == first.count()
+    assert n2 == events.count()
+    assert os.path.isdir(drop_dir)

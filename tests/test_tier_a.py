@@ -1,0 +1,156 @@
+"""E2E tests for the Tier-A surface (SURVEY.md §2.1): ingest -> store ->
+SQL passthrough -> transform -> publish, including the write-mode matrix and
+format round-trips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_my_test_spark.operators.transforms import (
+    project_first_k,
+    with_literal_column,
+)
+from data_engineering_zoomcamp_my_test_spark.plans import (
+    create_database_if_absent,
+    preview,
+    run_sql,
+    table_exists,
+)
+from data_engineering_zoomcamp_my_test_spark.sinks import (
+    publish_to_object_store,
+    save_table,
+    write_csv,
+    write_parquet,
+    write_warehouse_table,
+)
+from data_engineering_zoomcamp_my_test_spark.sources import read_source
+
+
+@pytest.fixture()
+def csv_fixture(tmp_path):
+    p = tmp_path / "football.csv"
+    p.write_text(
+        "Div,Date,HomeTeam,AwayTeam,FTHG,FTAG,FTR\n"
+        "E0,10/08/2018,Man United,Leicester,2,1,H\n"
+        "E0,11/08/2018,Bournemouth,Cardiff,2,0,H\n"
+        "E0,11/08/2018,Fulham,Crystal Palace,0,2,A\n"
+    )
+    return str(p)
+
+
+def test_read_source_csv(spark, csv_fixture):
+    df = read_source(spark, csv_fixture)
+    assert df.count() == 3
+    assert df.columns[:4] == ["Div", "Date", "HomeTeam", "AwayTeam"]
+    # pandas-style dtype inference: goals become ints
+    assert dict(df.dtypes)["FTHG"] == "int"
+
+
+def test_read_source_local_short_circuit(spark, sf_small):
+    df = read_source(spark, os.path.join(sf_small, "region.parquet"))
+    assert df.count() == 5
+
+
+def test_read_source_file_uri(spark, csv_fixture):
+    df = read_source(spark, f"file://{csv_fixture}")
+    assert df.count() == 3
+
+
+def test_save_table_mode_matrix(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    create_database_if_absent(spark, "t_a")
+    t = "t_a.mode_matrix"
+
+    assert save_table(df, t, if_exists="replace") is True
+    assert table_exists(spark, t)
+    assert spark.table(t).count() == 2
+
+    assert save_table(df, t, if_exists="append") is True
+    assert spark.table(t).count() == 4
+
+    # 'fail' on existing: reference logged and continued (data_ingest.py:101)
+    assert save_table(df, t, if_exists="fail") is False
+    assert spark.table(t).count() == 4
+
+    assert save_table(df, t, if_exists="replace") is True
+    assert spark.table(t).count() == 2
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_sql_passthrough_and_preview(spark, sf_small):
+    out = run_sql(
+        spark,
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY n DESC",
+        sf_dir=sf_small,
+    )
+    rows = out.collect()
+    assert sum(r.n for r in rows) == 1500
+    text = preview(out, 3)
+    assert "o_orderpriority" in text
+
+
+def test_transforms(spark, sf_small):
+    df = run_sql(spark, "SELECT * FROM lineitem", sf_dir=sf_small)
+    assert project_first_k(df, 10).columns == df.columns[:10]
+    lit_df = with_literal_column(df, "transformation", "tagged")
+    assert lit_df.select("transformation").distinct().collect()[0][0] == "tagged"
+
+
+def test_parquet_gzip_roundtrip(spark, sf_small, tmp_path):
+    src = spark.read.parquet(os.path.join(sf_small, "nation.parquet"))
+    out = str(tmp_path / "nation_gz")
+    write_parquet(src, out, compression="gzip")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and all(".gz." in f for f in files)
+    back = spark.read.parquet(out)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_csv_roundtrip(spark, sf_small, tmp_path):
+    src = spark.read.parquet(os.path.join(sf_small, "region.parquet"))
+    out = str(tmp_path / "region_csv")
+    write_csv(src, out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_object_store_publish(spark, sf_small, tmp_path):
+    """A14/A15: 'object store' = a second filesystem root in tests."""
+    src = spark.read.parquet(os.path.join(sf_small, "supplier.parquet"))
+    uri = str(tmp_path / "bucket" / "supplier")
+    publish_to_object_store(src, uri)
+    assert spark.read.parquet(uri).count() == src.count()
+
+
+def test_warehouse_write_df_and_uri(spark, sf_small, tmp_path):
+    src = spark.read.parquet(os.path.join(sf_small, "region.parquet"))
+    assert write_warehouse_table(spark, src, "region_copy") is True
+    assert spark.table("warehouse.region_copy").count() == 5
+
+    # server-side-load semantics: URI -> table, no df materialization
+    uri = os.path.join(sf_small, "nation.parquet")
+    assert write_warehouse_table(spark, uri, "nation_copy") is True
+    assert spark.table("warehouse.nation_copy").count() == 25
+    spark.sql("DROP TABLE warehouse.region_copy")
+    spark.sql("DROP TABLE warehouse.nation_copy")
+
+
+def test_full_reference_pipeline_shape(spark, csv_fixture, tmp_path):
+    """The reference's end-to-end: fetch -> store table -> user SQL ->
+    first-k projection + literal col -> gzip parquet -> re-read."""
+    df = read_source(spark, csv_fixture)
+    save_table(df, "football", if_exists="replace")
+    q = run_sql(spark, "SELECT * FROM football WHERE FTR = 'H'")
+    t = with_literal_column(project_first_k(q, 5))
+    out = str(tmp_path / "football_out")
+    write_parquet(t, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert back.columns == ["Div", "Date", "HomeTeam", "AwayTeam", "FTHG", "transformation"]
+    spark.sql("DROP TABLE football")

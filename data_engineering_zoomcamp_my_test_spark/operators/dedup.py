@@ -127,24 +127,32 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def token_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5
+    docs: DataFrame, threshold: float = 0.5, block_col: str | None = None
 ) -> DataFrame:
     """Exact token-set Jaccard similarity for all pairs sharing >= 1 token.
-    Shuffle is keyed by token; use on bounded corpora or post-LSH candidates
-    (at 100 TB run ``lsh_candidate_pairs`` first and verify only candidates).
+
+    Shuffle is keyed by token, so cost is sum over tokens of
+    (docs-with-token)^2 — quadratic in the worst case. ``block_col``
+    restricts pairs to the same block (e.g. crawl shard / source), the
+    standard way this is bounded in production; at 100 TB the block key is
+    an LSH bucket (``lsh_candidate_pairs``) and this operator verifies only
+    candidates.
     """
     toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        "doc_id",
+        *([block_col] if block_col else []),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     common = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .groupBy(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -203,7 +211,7 @@ def c6_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def c17_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return token_jaccard_pairs(docs, threshold=0.5)
+    return token_jaccard_pairs(docs, threshold=0.5, block_col="source")
 
 
 QUERIES = {
@@ -230,14 +238,14 @@ ORACLE = {
     # c6_minhash / c6_lsh_dup_pairs: custom hash pipeline, rows-only check.
     "c17_jaccard_pairs": """
         WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
           FROM documents
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
           FROM toks a JOIN toks b
-            ON a.tok = b.tok AND a.doc_id < b.doc_id
+            ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.source = b.source
           GROUP BY 1, 2
         )
         SELECT doc_id_a, doc_id_b,

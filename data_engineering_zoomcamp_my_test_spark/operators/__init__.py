@@ -18,10 +18,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, events, relational, similarity, text, transforms
+from . import analytics, dedup, events, relational, similarity, text, transforms
 
 
-_MODULES = (transforms, relational, dedup, similarity, text, events)
+_MODULES = (transforms, relational, dedup, similarity, text, events, analytics)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

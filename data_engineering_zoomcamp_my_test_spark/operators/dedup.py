@@ -178,6 +178,75 @@ def token_jaccard_pairs(
     )
 
 
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-token 64-bit hashes (JVM xxhash64),
+    bit-majority vote across tokens, reassembled into one BIGINT. Pure
+    expression work — explode + one partial-aggregated groupBy; near-dups
+    then differ in <= ~3 bits (see ``simhash_near_pairs``)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sh = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sh = term if sh is None else sh.bitwiseXOR(term)
+    return votes.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit hash into 16-bit
+    chunks — any pair within ``max_hamming`` (< n_bands) bits must agree on
+    at least one band (pigeonhole), so the join is keyed on (band, chunk),
+    never all-pairs. Exact Hamming filter applied after."""
+    width = 64 // n_bands
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --- declared queries ---------------------------------------------------------
 
 def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,12 +283,22 @@ def c17_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(docs, threshold=0.5, block_col="source")
 
 
+def c27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def c28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=10)
+
+
 QUERIES = {
     "c1_dedup_exact": c1_dedup_exact,
     "c2_dedup_norm": c2_dedup_norm,
     "c6_minhash": c6_minhash,
     "c6_lsh_dup_pairs": c6_lsh_dup_pairs,
     "c17_jaccard_pairs": c17_jaccard_pairs,
+    "c27_simhash": c27_simhash,
+    "c28_simhash_pairs": c28_simhash_pairs,
 }
 
 ORACLE = {

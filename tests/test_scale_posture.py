@@ -1,0 +1,83 @@
+"""Scale-posture checks (SURVEY.md §2.3 design rule): plans must push
+filters to the scan, broadcast bounded dims, avoid shuffles on bucketed
+joins, and keep operators free of driver materialization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+from data_engineering_zoomcamp_my_test_spark.plans.sql import explain_str
+from data_engineering_zoomcamp_my_test_spark.sinks import save_table
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_small):
+    df = all_queries()["b1_filter_pred"](spark, sf_small)
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters: [" in plan
+    # at least one concrete pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    df = all_queries()["b2_project_expr"](spark, sf_small)
+    plan = explain_str(df, "formatted")
+    # only the needed columns in ReadSchema (no l_tax, no flags)
+    assert "l_tax" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_small):
+    df = all_queries()["b7_join_multiway"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_small):
+    df = all_queries()["b18_topk"](spark, sf_small)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_small):
+    """Two tables bucketed on the join key co-locate: the join plan has no
+    Exchange on either side — the 100 TB fact-fact join strategy."""
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    save_table(orders, "b_orders", bucket_by=(4, ["o_orderkey"]))
+    save_table(lineitem, "b_lineitem", bucket_by=(4, ["l_orderkey"]))
+    # Disable broadcast so the planner faces the fact-fact shape this
+    # strategy exists for (at real scale neither side broadcasts).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_no_collect_in_operator_sources():
+    """Operator modules must not driver-materialize (no .collect() in the
+    operator path; the only allowed use is bounded query-vector fetch)."""
+    import inspect
+
+    from data_engineering_zoomcamp_my_test_spark.operators import (
+        dedup,
+        events,
+        relational,
+        text,
+        transforms,
+    )
+
+    for mod in (relational, dedup, text, events, transforms):
+        src = inspect.getsource(mod)
+        assert ".collect()" not in src, mod.__name__
+        assert ".toPandas()" not in src, mod.__name__

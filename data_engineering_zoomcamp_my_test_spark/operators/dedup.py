@@ -283,6 +283,30 @@ def c17_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(docs, threshold=0.5, block_col="source")
 
 
+def incremental_dedup(
+    new_docs: DataFrame, corpus: DataFrame, key: F.Column | str = "text"
+) -> DataFrame:
+    """Keep only new docs whose key does not already exist in the corpus —
+    the incremental-ingest dedup step of a training-data pipeline. One
+    left-anti join keyed on the dedup key; at 100 TB the corpus side is a
+    bucketed fingerprint table so the join is shuffle-free."""
+    keycol = F.col(key) if isinstance(key, str) else key
+    n = new_docs.withColumn("_k", keycol)
+    c = corpus.withColumn("_k", keycol).select("_k").distinct()
+    return n.join(c, "_k", "left_anti").drop("_k")
+
+
+def c29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'src0' arrives as the new batch; every other source is the existing
+    corpus. Normalized-text key."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_b = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return incremental_dedup(new_b, corpus, normalized_text("text")).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def c27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
@@ -299,6 +323,7 @@ QUERIES = {
     "c17_jaccard_pairs": c17_jaccard_pairs,
     "c27_simhash": c27_simhash,
     "c28_simhash_pairs": c28_simhash_pairs,
+    "c29_incremental_dedup": c29_incremental_dedup,
 }
 
 ORACLE = {
@@ -315,6 +340,19 @@ ORACLE = {
         GROUP BY 2
     """,
     # c6_minhash / c6_lsh_dup_pairs: custom hash pipeline, rows-only check.
+    "c29_incremental_dedup": """
+        WITH normed AS (
+          SELECT doc_id, source, lang,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g')) AS k
+          FROM documents
+        )
+        SELECT doc_id, source, lang FROM normed n
+        WHERE source = 'src0'
+          AND NOT EXISTS (
+            SELECT 1 FROM normed c WHERE c.source <> 'src0' AND c.k = n.k
+          )
+    """,
     "c17_jaccard_pairs": """
         WITH toks AS (
           SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok

@@ -472,6 +472,38 @@ def b26_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B26_SQL)
 
 
+# --- B28: array scalar functions ----------------------------------------------------
+
+def b28_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    elems = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.aggregate(elems, F.lit(0.0), lambda a, x: a + x).alias("el_sum"),
+        F.aggregate(
+            elems, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        ).alias("el_max_abs"),
+        F.element_at(elems, 1).alias("first_el"),
+    )
+
+
+# --- B33: distribution window functions ----------------------------------------------
+
+def b33_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
 # --- B27: HAVING -----------------------------------------------------------------------------------
 
 def b27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +550,8 @@ QUERIES = {
     "b25_cast": b25_cast,
     "b26_cte": b26_cte,
     "b27_having": b27_having,
+    "b28_array_fns": b28_array_fns,
+    "b33_win_distribution": b33_win_distribution,
 }
 
 _MONEY = "DECIMAL(18,2)"
@@ -713,6 +747,29 @@ ORACLE = {
         FROM lineitem WHERE l_orderkey < 200
     """,
     "b26_cte": _B26_SQL,
+    "b28_array_fns": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                 (a, x) -> a + x) AS el_sum,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                 (a, x) -> greatest(a, abs(x))) AS el_max_abs,
+               CAST(embedding[1] AS DOUBLE) AS first_el
+        FROM embeddings
+    """,
+    "b33_win_distribution": """
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
     "b27_having": """
         SELECT n_name, COUNT(*) AS n_cust
         FROM customer JOIN nation ON c_nationkey = n_nationkey

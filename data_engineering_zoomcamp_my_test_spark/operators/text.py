@@ -99,6 +99,39 @@ def c16_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c30_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: token -> doc frequency + total count,
+    top 50. Explode + partial-aggregated groupBy — the canonical
+    one-shuffle term-statistics job."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+def c31_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: mask digit runs, collapse repeated whitespace —
+    the shape of regex-based redaction at corpus scale (pure JVM regex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"), " +", " "
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        (F.length("text") - F.length(scrubbed)).cast("int").alias("chars_removed"),
+    )
+
+
 def c20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.withColumn("norm_text", normalized_text("text")).select(
@@ -112,6 +145,8 @@ QUERIES = {
     "c15_langid": c15_langid,
     "c16_quality": c16_quality,
     "c20_fingerprint": c20_fingerprint,
+    "c30_vocab": c30_vocab,
+    "c31_scrub_pii": c31_scrub_pii,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -147,6 +182,20 @@ ORACLE = {
                ({_HITS} / {_NTOK}) * 0.5
                  + (1.0 / (1.0 + ABS(CAST(n_chars AS DOUBLE) / {_NTOK} - 5.0))) * 0.5
                  AS quality_score
+        FROM documents
+    """,
+    "c30_vocab": """
+        SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY n_total DESC, tok LIMIT 50
+    """,
+    "c31_scrub_pii": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                              ' +', ' ', 'g') AS scrubbed_text,
+               CAST(LENGTH(text) - LENGTH(
+                 regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                                ' +', ' ', 'g')) AS INT) AS chars_removed
         FROM documents
     """,
     "c20_fingerprint": f"""

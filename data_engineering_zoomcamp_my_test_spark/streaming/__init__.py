@@ -1,11 +1,15 @@
 from .windows import (
+    batch_session_agg,
     batch_tumbling_agg,
+    run_streaming_session_agg,
     run_streaming_tumbling_agg,
     streaming_tumbling_agg,
 )
 
 __all__ = [
+    "batch_session_agg",
     "batch_tumbling_agg",
+    "run_streaming_session_agg",
     "run_streaming_tumbling_agg",
     "streaming_tumbling_agg",
 ]

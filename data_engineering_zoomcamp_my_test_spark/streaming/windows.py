@@ -60,6 +60,55 @@ def streaming_tumbling_agg(
     return _windowed_agg(stream.withWatermark("ts", watermark), window)
 
 
+def _session_agg(df: DataFrame, gap: str) -> DataFrame:
+    return (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def batch_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return _session_agg(events, gap)
+
+
+def run_streaming_session_agg(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "session_out",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming sessionization (session_window + watermark),
+    driven to completion over the files currently in ``source_dir``."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    agg = _session_agg(stream.withWatermark("ts", watermark), gap)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_streaming_tumbling_agg(
     spark: SparkSession,
     source_dir: str,

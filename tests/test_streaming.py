@@ -7,7 +7,9 @@ import os
 
 from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
 from data_engineering_zoomcamp_my_test_spark.streaming import (
+    batch_session_agg,
     batch_tumbling_agg,
+    run_streaming_session_agg,
     run_streaming_tumbling_agg,
 )
 
@@ -27,6 +29,20 @@ def test_streaming_batch_parity(spark, sf_small, tmp_path):
     s = sorted(tuple(r) for r in stream.collect())
     assert b == s
     assert len(b) > 0
+
+
+def test_streaming_session_parity(spark, sf_small, tmp_path):
+    """Stateful session_window streaming == batch session_window on replay."""
+    events = load_table(spark, sf_small, "events")
+    drop_dir = str(tmp_path / "sess_drops")
+    events.repartition(3).write.parquet(drop_dir)
+
+    batch = batch_session_agg(spark.read.parquet(drop_dir))
+    stream = run_streaming_session_agg(spark, drop_dir, query_name="sess_parity")
+
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s and len(b) > 0
 
 
 def test_streaming_is_incremental(spark, sf_small, tmp_path):

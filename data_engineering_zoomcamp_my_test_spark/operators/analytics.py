@@ -135,7 +135,40 @@ def c26_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile in long form: per column, row/null/distinct
+    counts. One pass per metric family over a single aggregate row, then
+    unpivoted — not one job per column."""
+    agg_exprs = []
+    for c in cols:
+        agg_exprs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*agg_exprs)
+    parts = None
+    for c in cols:
+        row = wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+        )
+        parts = row if parts is None else parts.unionAll(row)
+    return parts
+
+
+def c32_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 QUERIES = {
+    "c32_profile": c32_profile,
     "c23_asof_join": c23_asof_join,
     "c9b_session_window": c9b_session_window,
     "c24_percentiles": c24_percentiles,
@@ -148,6 +181,27 @@ QUERIES = {
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
 ORACLE = {
+    "c32_profile": """
+        SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
     "c23_asof_join": """
         SELECT event_id, user_id, event_type,
                last_value(CASE WHEN event_type = 'purchase' THEN event_id END

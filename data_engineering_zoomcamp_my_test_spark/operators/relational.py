@@ -521,6 +521,66 @@ def b27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B34-B36: classic decision-support shapes (TPC-H Q3/Q4/Q10 analogs) -------
+
+def b34_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: filtered 3-way join, revenue per order, top-10."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    orders = orders.filter(
+        F.col("o_orderdate") < ts_lit(orders, "o_orderdate", "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") > ts_lit(li, "l_shipdate", "1997-01-01"))
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(dmoney_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def b35_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS semi join + count by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= ts_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit(orders, "o_orderdate", "1997-01-01"))
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def b36_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer, top-20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dmoney_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "b1_filter_pred": b1_filter_pred,
     "b2_project_expr": b2_project_expr,
@@ -552,6 +612,9 @@ QUERIES = {
     "b27_having": b27_having,
     "b28_array_fns": b28_array_fns,
     "b33_win_distribution": b33_win_distribution,
+    "b34_q3_shipping_priority": b34_q3_shipping_priority,
+    "b35_q4_order_priority": b35_q4_order_priority,
+    "b36_q10_returned_items": b36_q10_returned_items,
 }
 
 _MONEY = "DECIMAL(18,2)"
@@ -774,5 +837,37 @@ ORACLE = {
         SELECT n_name, COUNT(*) AS n_cust
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name HAVING COUNT(*) > 50 ORDER BY n_name
+    """,
+    "b34_q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderpriority, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "b35_q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "b36_q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
 }

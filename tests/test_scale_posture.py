@@ -64,6 +64,36 @@ def test_bucketed_join_skips_shuffle(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_partition_pruning_on_partitioned_write(spark, sf_small, tmp_path):
+    """Hive-partitioned output + a filter on the partition key must prune at
+    plan time (PartitionFilters), not scan-and-filter."""
+    from data_engineering_zoomcamp_my_test_spark.sinks import write_parquet
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = explain_str(back, "formatted")
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "o_orderstatus" in seg  # pruning reaches the scan
+    n_f = orders.filter("o_orderstatus = 'F'").count()
+    assert back.count() == n_f
+
+
+def test_json_roundtrip(spark, sf_small, tmp_path):
+    src = spark.read.parquet(f"{sf_small}/nation.parquet")
+    out = str(tmp_path / "nation_json")
+    src.write.json(out)
+    from data_engineering_zoomcamp_my_test_spark.sources import read_json
+
+    back = read_json(spark, out, schema="n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
 def test_no_collect_in_operator_sources():
     """Operator modules must not driver-materialize (no .collect() in the
     operator path; the only allowed use is bounded query-vector fetch)."""

@@ -54,7 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _ensure_nanos_conf(spark)
         df = spark.read.parquet(path)
         # ts scanned as int64 nanoseconds-since-epoch; truncate to micros.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Guarded on the runtime dtype so a session (or future Spark) that
+        # already maps NANOS to a timestamp type passes through untouched.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -31,6 +31,7 @@ from ..sources.tables import load_table
 
 # MinHash parameters: h_i(x) = (a_i * x + b_i) mod P, P Mersenne-ish prime.
 _MINHASH_PRIME = (1 << 61) - 1
+_MINHASH_PRIME_31 = (1 << 31) - 1  # JVM variant: keeps a*h+b below 2^62
 _N_HASHES = 32
 _N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.5
 _SHINGLE_K = 3
@@ -77,6 +78,49 @@ def _make_minhash_udf():
 minhash_signature = _make_minhash_udf()
 
 
+def minhash_bands_jvm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash -> LSH bands computed entirely JVM-side with higher-order
+    functions — the hot-path variant (no Python worker, stays inside
+    whole-stage codegen): tokens -> k-shingles (``transform`` over an index
+    ``sequence``) -> xxhash64 per shingle -> per-hash-function ``array_min``
+    of ``pmod(a*h + b, P)`` -> banded hashes.
+
+    The Arrow-batched pandas_udf variant (``minhash_bands``) is kept as the
+    documented Python escape hatch (B30); this one is what the LSH pipeline
+    uses at scale. Signatures differ between the two variants (different
+    base hash), which is fine: MinHash only needs a fixed hash family.
+    Arithmetic is kept in 31-bit space (shingle hash reduced mod 2^31-1
+    before a*h+b) so products never overflow a long under ANSI mode."""
+    docs = _spread_for_cpu(docs)
+    k = _SHINGLE_K
+    p31 = _MINHASH_PRIME_31
+    toks = f"split({text_col}, ' ')"
+    shingles = (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> pmod(xxhash64(concat_ws(' ', slice({toks}, i, {k}))), {p31}L))"
+    )
+    with_sh = docs.select("doc_id", F.expr(shingles).alias("_sh"))
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(_sh, h -> pmod({a % p31 or 1}L * h + {b % p31}L, {p31}L)))"
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_PARAMS)
+    ]
+    sig = with_sh.select("doc_id", F.array(*sig_cols).alias("sig"))
+    rows_per_band = _N_HASHES // _N_BANDS
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one row per distinct key, deterministic representative."""
     others = [c for c in df.columns if c not in key_cols and c != id_col]
@@ -87,8 +131,19 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def _spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Signature computation is CPU-bound per row; a corpus that arrives as
+    few parquet files would otherwise run on few cores. Spread it across the
+    cluster before the heavy expression (cheap round-robin, no key)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id -> (band, band_hash) pairs; equal band_hash = LSH candidate."""
+    docs = _spread_for_cpu(docs)
     rows_per_band = _N_HASHES // _N_BANDS
     sig = docs.withColumn("sig", minhash_signature(F.col(text_col)))
     bands = sig.select(
@@ -105,10 +160,10 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bands
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, jvm: bool = True) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, band_hash) bucket.
     The only join is keyed on the bucket — sub-quadratic by construction."""
-    bands = minhash_bands(docs)
+    bands = minhash_bands_jvm(docs) if jvm else minhash_bands(docs)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -307,6 +362,10 @@ def c29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c33_minhash_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_bands_jvm(load_table(spark, sf_dir, "documents"))
+
+
 def c27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
@@ -324,6 +383,7 @@ QUERIES = {
     "c27_simhash": c27_simhash,
     "c28_simhash_pairs": c28_simhash_pairs,
     "c29_incremental_dedup": c29_incremental_dedup,
+    "c33_minhash_jvm": c33_minhash_jvm,
 }
 
 ORACLE = {

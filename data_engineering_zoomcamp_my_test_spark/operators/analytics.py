@@ -125,6 +125,52 @@ def b32_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b37_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority (all grouping-set combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dmoney_sum(money("o_totalprice"), "total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def b38_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with ordinality: tokens of short documents with
+    their 1-based position."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+
+
+def c34_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour event count/sum (RANGE frame over event time)
+    — the time-series rollup shape. Range frames shuffle once on user and
+    sort by time; state is bounded by the frame width."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(money("value")).over(w).cast("double").alias("value_1h"),
+    )
+
+
 def c26_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic systematic sample (key-mod): reproducible across
     engines and partitionings, unlike ``df.sample`` (seeded per-partition).
@@ -175,6 +221,9 @@ QUERIES = {
     "c25_histogram": c25_histogram,
     "b31_pivot": b31_pivot,
     "b32_unpivot": b32_unpivot,
+    "b37_cube": b37_cube,
+    "b38_explode": b38_explode,
+    "c34_rolling_1h": c34_rolling_1h,
     "c26_sample": c26_sample,
 }
 
@@ -271,5 +320,27 @@ ORACLE = {
     "c26_sample": """
         SELECT event_id, user_id, event_type, value
         FROM events WHERE event_id % 20 = 0
+    """,
+    "b37_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "b38_explode": """
+        SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+               string_split(text, ' ')[u.pos] AS tok
+        FROM documents,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(pos)
+        WHERE n_chars < 200
+    """,
+    "c34_rolling_1h": f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               COUNT(*) OVER w AS n_events_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 }

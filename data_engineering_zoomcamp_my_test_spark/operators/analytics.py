@@ -171,6 +171,33 @@ def c34_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_zscore(ev: DataFrame) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` — the grouped-map UDF surface
+    (B30): each group arrives as one pandas DataFrame, Arrow both ways.
+    Statistically identical to the window formulation; exists to exercise
+    the escape hatch used when per-group logic isn't expressible in SQL."""
+    import pandas as pd
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - m) / s).round(6),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        z, schema="event_id long, event_type string, zscore double"
+    )
+
+
+def c35_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_zscore(load_table(spark, sf_dir, "events"))
+
+
 def c26_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic systematic sample (key-mod): reproducible across
     engines and partitionings, unlike ``df.sample`` (seeded per-partition).
@@ -224,6 +251,7 @@ QUERIES = {
     "b37_cube": b37_cube,
     "b38_explode": b38_explode,
     "c34_rolling_1h": c34_rolling_1h,
+    "c35_grouped_zscore": c35_grouped_zscore,
     "c26_sample": c26_sample,
 }
 
@@ -334,6 +362,13 @@ ORACLE = {
         FROM documents,
              unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(pos)
         WHERE n_chars < 200
+    """,
+    "c35_grouped_zscore": """
+        SELECT event_id, event_type,
+               ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6)
+                 AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
     """,
     "c34_rolling_1h": f"""
         SELECT event_id, user_id, epoch_us(ts) AS ts_us,

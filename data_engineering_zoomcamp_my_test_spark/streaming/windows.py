@@ -44,6 +44,54 @@ def batch_tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     return _windowed_agg(events, window)
 
 
+def _sliding_agg(df: DataFrame, window: str, slide: str) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def batch_sliding_agg(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return _sliding_agg(events, window, slide)
+
+
+def run_streaming_sliding_agg(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "slide_out",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    agg = _sliding_agg(stream.withWatermark("ts", watermark), window, slide)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def streaming_tumbling_agg(
     spark: SparkSession,
     source_dir: str,

@@ -45,6 +45,21 @@ def test_streaming_session_parity(spark, sf_small, tmp_path):
     assert b == s and len(b) > 0
 
 
+def test_streaming_sliding_parity(spark, sf_small, tmp_path):
+    from data_engineering_zoomcamp_my_test_spark.streaming import (
+        batch_sliding_agg,
+        run_streaming_sliding_agg,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    drop_dir = str(tmp_path / "slide_drops")
+    events.repartition(3).write.parquet(drop_dir)
+
+    batch = batch_sliding_agg(spark.read.parquet(drop_dir))
+    stream = run_streaming_sliding_agg(spark, drop_dir, query_name="slide_parity")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
 def test_streaming_is_incremental(spark, sf_small, tmp_path):
     """Late-arriving file lands -> rerun picks it up (file-source replay)."""
     events = load_table(spark, sf_small, "events")

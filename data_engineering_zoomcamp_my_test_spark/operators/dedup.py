@@ -302,6 +302,71 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation — the step that turns
+    pairwise near-dup candidates into duplicate *clusters* (keep one doc per
+    component).
+
+    Iterative: each round, every node takes the min label among itself and
+    its neighbors; converges in O(diameter) rounds. Each round is one join +
+    aggregate (shuffle keyed by node); ``localCheckpoint`` truncates the
+    growing lineage so plans stay bounded — the standard Spark formulation
+    of an iterative graph algorithm without GraphX.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+
+
+def c36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup clustering pipeline: exact token-Jaccard pairs (blocked
+    by source) -> connected components -> (doc_id, cluster) where cluster is
+    the min doc_id reachable. Docs in no pair form singleton clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
+    return connected_components(docs.select("doc_id"), pairs)
+
+
 # --- declared queries ---------------------------------------------------------
 
 def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +449,30 @@ QUERIES = {
     "c28_simhash_pairs": c28_simhash_pairs,
     "c29_incremental_dedup": c29_incremental_dedup,
     "c33_minhash_jvm": c33_minhash_jvm,
+    "c36_dedup_clusters": c36_dedup_clusters,
 }
+
+_JACCARD_EDGES_SQL = """
+          SELECT doc_id_a, doc_id_b FROM (
+            WITH toks AS (
+              SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+              FROM toks a JOIN toks b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.source = b.source
+              GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b
+            FROM common
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE)
+                    / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
+          ) j
+"""
 
 ORACLE = {
     "c1_dedup_exact": """
@@ -400,6 +488,23 @@ ORACLE = {
         GROUP BY 2
     """,
     # c6_minhash / c6_lsh_dup_pairs: custom hash pipeline, rows-only check.
+    "c36_dedup_clusters": f"""
+        WITH RECURSIVE edges AS (
+          {_JACCARD_EDGES_SQL}
+        ),
+        sym AS (
+          SELECT doc_id_a AS a, doc_id_b AS b FROM edges
+          UNION
+          SELECT doc_id_b, doc_id_a FROM edges
+        ),
+        reach(id, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
+        )
+        SELECT id AS doc_id, MIN(label) AS cluster
+        FROM reach GROUP BY id
+    """,
     "c29_incremental_dedup": """
         WITH normed AS (
           SELECT doc_id, source, lang,

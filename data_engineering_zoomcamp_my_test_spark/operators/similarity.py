@@ -220,7 +220,22 @@ def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings (the standard pre-step before cosine ANN:
+    normalized vectors turn cosine into dot product). Array-valued output,
+    all higher-order functions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 6)
+        ).alias("unit_vec"),
+    )
+
+
 QUERIES = {
+    "c38_l2_normalize": c38_l2_normalize,
     "c3_cosine_topk": c3_cosine_topk,
     "c13_knn_all": c13_knn_all,
     "c4_lsh_knn": c4_lsh_knn,
@@ -234,6 +249,16 @@ _COS = (
 )
 
 ORACLE = {
+    "c38_l2_normalize": """
+        SELECT vec_id,
+               list_transform(
+                 CAST(embedding AS DOUBLE[]),
+                 x -> round(x / sqrt(list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+                        (a, v) -> a + v)), 6)) AS unit_vec
+        FROM embeddings
+    """,
     "c3_cosine_topk": f"""
         SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
                {_COS} AS cosine_sim,

@@ -132,6 +132,38 @@ def c31_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c37_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per (doc, token) x inverse document frequency,
+    top-scoring term per document. Two shuffles (token stats, per-doc rank)
+    — the classic corpus-statistics join pipeline, fully JVM-side."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).alias("nd")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
 def c20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.withColumn("norm_text", normalized_text("text")).select(
@@ -147,6 +179,7 @@ QUERIES = {
     "c20_fingerprint": c20_fingerprint,
     "c30_vocab": c30_vocab,
     "c31_scrub_pii": c31_scrub_pii,
+    "c37_tfidf_top_term": c37_tfidf_top_term,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -183,6 +216,24 @@ ORACLE = {
                  + (1.0 / (1.0 + ABS(CAST(n_chars AS DOUBLE) / {_NTOK} - 5.0))) * 0.5
                  AS quality_score
         FROM documents
+    """,
+    "c37_tfidf_top_term": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (tok) CROSS JOIN nd
+        )
+        SELECT doc_id, tok, tfidf FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+          FROM scored
+        ) t WHERE rn = 1
     """,
     "c30_vocab": """
         SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS doc_freq

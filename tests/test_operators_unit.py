@@ -119,6 +119,37 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     assert all(r.neighbor_id != 1 for r in out)
 
 
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (+edge), singleton 99."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_id_a long, doc_id_b long",
+    )
+    out = {r.doc_id: r.cluster for r in connected_components(ids, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node chain needs label propagation over many hops — exercises
+    the iteration/convergence logic, not just one round."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    out = {r.doc_id: r.cluster for r in connected_components(ids, edges, max_iter=20).collect()}
+    assert set(out.values()) == {0}
+
+
 def test_skewed_group_key(spark):
     """90% of rows share one key — partial aggregation + AQE must still
     produce exact counts."""

@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "c7_tumbling",
     "c9_session",
     "c10_json_extract",
+    "c23_asof_join",
+    "c33_minhash_jvm",
+    "c34_rolling_1h",
+    "c37_tfidf_top_term",
 ]
 
 

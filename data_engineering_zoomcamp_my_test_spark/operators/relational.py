@@ -521,6 +521,55 @@ def b27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B39: multiset set-ops (EXCEPT ALL / INTERSECT ALL) -----------------------
+
+def b39_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics set ops: duplicates preserved (vs b19's set semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    tag = lambda df, t: df.agg(F.count(F.lit(1)).alias("n")).select(  # noqa: E731
+        F.lit(t).alias("op"), "n"
+    )
+    return tag(a.exceptAll(b), "except_all").unionAll(
+        tag(a.intersectAll(b), "intersect_all")
+    )
+
+
+# --- B40: null-safe comparison (IS DISTINCT FROM) -----------------------------
+
+def b40_null_safe_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] DISTINCT FROM over a null-producing left join."""
+    customer = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    j = customer.join(pend, customer.c_custkey == pend.o_custkey, "left")
+    return (
+        j.select(
+            "c_custkey",
+            F.expr("o_orderpriority IS DISTINCT FROM '1-URGENT'").alias("not_urgent"),
+            F.expr("o_orderkey IS NOT DISTINCT FROM NULL").alias("no_p_order"),
+        )
+        .groupBy("not_urgent", "no_p_order")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("not_urgent", "no_p_order")
+    )
+
+
+# --- B41: advanced string functions -------------------------------------------
+
+def b41_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_title"),
+        F.reverse("p_name").alias("name_rev"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5) + 1).alias("dash_bar"),
+        F.instr("p_name", " ").cast("bigint").alias("space_at"),
+    )
+
+
 # --- B34-B36: classic decision-support shapes (TPC-H Q3/Q4/Q10 analogs) -------
 
 def b34_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +664,9 @@ QUERIES = {
     "b34_q3_shipping_priority": b34_q3_shipping_priority,
     "b35_q4_order_priority": b35_q4_order_priority,
     "b36_q10_returned_items": b36_q10_returned_items,
+    "b39_setops_all": b39_setops_all,
+    "b40_null_safe_cmp": b40_null_safe_cmp,
+    "b41_string_advanced": b41_string_advanced,
 }
 
 _MONEY = "DECIMAL(18,2)"
@@ -837,6 +889,38 @@ ORACLE = {
         SELECT n_name, COUNT(*) AS n_cust
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name HAVING COUNT(*) > 50 ORDER BY n_name
+    """,
+    "b39_setops_all": """
+        SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+          EXCEPT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') t
+        UNION ALL
+        SELECT 'intersect_all', COUNT(*) FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+          INTERSECT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R') t
+    """,
+    "b40_null_safe_cmp": """
+        SELECT not_urgent, no_p_order, COUNT(*) AS n FROM (
+          SELECT c_custkey,
+                 o_orderpriority IS DISTINCT FROM '1-URGENT' AS not_urgent,
+                 o_orderkey IS NOT DISTINCT FROM NULL AS no_p_order
+          FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_orderstatus = 'P'
+          ) p ON c_custkey = o_custkey
+        ) t GROUP BY not_urgent, no_p_order ORDER BY not_urgent, no_p_order
+    """,
+    "b41_string_advanced": """
+        SELECT p_partkey,
+               array_to_string(list_transform(string_split(lower(p_name), ' '),
+                 w -> concat(upper(w[1]), w[2:])), ' ') AS name_title,
+               reverse(p_name) AS name_rev,
+               lpad(p_brand, 12, '*') AS brand_pad,
+               translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+               repeat('-', (p_size % 5) + 1) AS dash_bar,
+               CAST(instr(p_name, ' ') AS BIGINT) AS space_at
+        FROM part
     """,
     "b34_q3_shipping_priority": f"""
         SELECT l_orderkey, o_orderpriority, CAST(SUM({_REV}) AS DOUBLE) AS revenue

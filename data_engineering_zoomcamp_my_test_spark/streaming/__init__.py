@@ -5,6 +5,7 @@ from .windows import (
     run_streaming_session_agg,
     run_streaming_sliding_agg,
     run_streaming_tumbling_agg,
+    stream_to_parquet_exactly_once,
     streaming_tumbling_agg,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "run_streaming_session_agg",
     "run_streaming_sliding_agg",
     "run_streaming_tumbling_agg",
+    "stream_to_parquet_exactly_once",
     "streaming_tumbling_agg",
 ]

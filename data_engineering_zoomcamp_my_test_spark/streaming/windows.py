@@ -157,6 +157,38 @@ def run_streaming_session_agg(
     return spark.table(query_name)
 
 
+def stream_to_parquet_exactly_once(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once file pipeline: ``foreachBatch`` writes each micro-batch
+    to an epoch-scoped parquet path (idempotent overwrite on replay) while
+    the checkpoint tracks source offsets — restart resumes from the last
+    committed batch without duplicating output. This is the Spark-native
+    replacement for the reference's fetch->store pipeline when the source is
+    a continuously-landing directory."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_streaming_tumbling_agg(
     spark: SparkSession,
     source_dir: str,

@@ -60,6 +60,33 @@ def test_streaming_sliding_parity(spark, sf_small, tmp_path):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
 
 
+def test_foreach_batch_exactly_once_resume(spark, sf_small, tmp_path):
+    """Checkpointed foreachBatch pipeline: restart after new files arrive
+    processes only the new data; total output is complete with no dupes."""
+    from data_engineering_zoomcamp_my_test_spark.streaming import (
+        stream_to_parquet_exactly_once,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+
+    src = str(tmp_path / "eo_src")
+    out = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+    first.repartition(2).write.parquet(src)
+
+    stream_to_parquet_exactly_once(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    second.repartition(2).write.mode("append").parquet(src)
+    stream_to_parquet_exactly_once(spark, src, out, ckpt)  # resume, same ckpt
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()  # complete
+    assert got.select("event_id").distinct().count() == events.count()  # no dupes
+
+
 def test_streaming_is_incremental(spark, sf_small, tmp_path):
     """Late-arriving file lands -> rerun picks it up (file-source replay)."""
     events = load_table(spark, sf_small, "events")

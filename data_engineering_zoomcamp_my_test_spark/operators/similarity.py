@@ -234,8 +234,31 @@ def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c39_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (the storage-scale
+    path for 100 TB vector corpora: 4x smaller than float32, dot products
+    in integer space). floor(x*scale + 0.5) keeps rounding deterministic
+    and engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    scale = F.lit(127.0) / max_abs
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+        ).alias("q_vec"),
+    )
+
+
 QUERIES = {
     "c38_l2_normalize": c38_l2_normalize,
+    "c39_quantize_int8": c39_quantize_int8,
     "c3_cosine_topk": c3_cosine_topk,
     "c13_knn_all": c13_knn_all,
     "c4_lsh_knn": c4_lsh_knn,
@@ -248,7 +271,20 @@ _COS = (
     "CAST(b.embedding AS DOUBLE[])), 6)"
 )
 
+_MAXABS = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))), "
+    "(a, v) -> greatest(a, v))"
+)
+
 ORACLE = {
+    "c39_quantize_int8": f"""
+        SELECT vec_id,
+               round(127.0 / {_MAXABS}, 6) AS scale,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * (127.0 / {_MAXABS}) + 0.5) AS INT)) AS q_vec
+        FROM embeddings
+    """,
     "c38_l2_normalize": """
         SELECT vec_id,
                list_transform(

@@ -94,6 +94,24 @@ def test_json_roundtrip(spark, sf_small, tmp_path):
     )
 
 
+def test_analyze_table_feeds_cbo(spark, sf_small):
+    """ANALYZE TABLE must surface row/size statistics to the optimizer."""
+    from data_engineering_zoomcamp_my_test_spark.plans.catalog import (
+        analyze_table,
+        table_stats,
+    )
+
+    spark.read.parquet(f"{sf_small}/nation.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("t_stats")
+    try:
+        analyze_table(spark, "t_stats", columns=["n_nationkey", "n_name"])
+        stats = table_stats(spark, "t_stats")
+        assert "rows" in stats and "25" in stats, stats
+    finally:
+        spark.sql("DROP TABLE t_stats")
+
+
 def test_no_collect_in_operator_sources():
     """Operator modules must not driver-materialize (no .collect() in the
     operator path; the only allowed use is bounded query-vector fetch)."""

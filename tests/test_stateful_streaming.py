@@ -1,0 +1,25 @@
+"""Custom stateful streaming operator: per-user ledger state maintained
+across micro-batches must end at the batch aggregate's answer."""
+
+from __future__ import annotations
+
+from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+from data_engineering_zoomcamp_my_test_spark.streaming.stateful import (
+    batch_user_ledger,
+    streaming_user_ledger,
+)
+
+
+def test_stateful_ledger_matches_batch(spark, sf_small, tmp_path):
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "ledger_src")
+    # several files -> several micro-batches -> state actually carries over
+    events.repartition(6).write.parquet(src)
+
+    stream = streaming_user_ledger(spark, src, query_name="ledger_parity")
+    batch = batch_user_ledger(spark.read.parquet(src))
+
+    s = {r.user_id: (r.n_events, r.total_value) for r in stream.collect()}
+    b = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0

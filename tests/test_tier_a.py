@@ -141,6 +141,25 @@ def test_warehouse_write_df_and_uri(spark, sf_small, tmp_path):
     spark.sql("DROP TABLE warehouse.nation_copy")
 
 
+def test_upsert_table_merge_semantics(spark):
+    from data_engineering_zoomcamp_my_test_spark.sinks import upsert_table
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, v string, x double"
+    )
+    save_table(base, "t_upsert", if_exists="replace")
+    updates = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "id long, v string, x double"
+    )
+    upsert_table(spark, "t_upsert", updates, "id")
+    got = {r.id: (r.v, r.x) for r in spark.table("t_upsert").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # idempotent: re-applying the same updates changes nothing
+    upsert_table(spark, "t_upsert", updates, "id")
+    assert {r.id: (r.v, r.x) for r in spark.table("t_upsert").collect()} == got
+    spark.sql("DROP TABLE t_upsert")
+
+
 def test_full_reference_pipeline_shape(spark, csv_fixture, tmp_path):
     """The reference's end-to-end: fetch -> store table -> user SQL ->
     first-k projection + literal col -> gzip parquet -> re-read."""

@@ -171,6 +171,87 @@ def c34_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_k_per_group_agg(
+    df: DataFrame, group_col: str, order_col: str, tiebreak_col: str, k: int
+) -> DataFrame:
+    """Top-k per group WITHOUT a window sort: collect per-group structs with
+    partial aggregation, sort the tiny k-bounded array, explode. At scale
+    this beats ``row_number() OVER`` because the shuffle carries one
+    k-element array per group instead of every row, and no per-partition
+    full sort happens. Descending order via exact negation of the 2-decimal
+    order key."""
+    item = F.struct(
+        (-money(order_col)).alias("_neg"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(order_col).alias("_v"),
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
+        .select(group_col, F.posexplode("_top").alias("_pos", "_it"))
+        .select(
+            group_col,
+            F.col("_it._tb").alias(tiebreak_col),
+            F.col("_it._v").alias(order_col),
+            (F.col("_pos") + 1).cast("int").alias("rn"),
+        )
+    )
+
+
+def c40_topk_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as b14_win_rank (top-3 orders per customer), different
+    physical strategy — the oracle is the window formulation, proving the
+    aggregate-based plan preserves semantics exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group_agg(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+
+
+def c41_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted average: decimal-accumulated sum(w*x)/sum(w)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = money("l_quantity")
+    wx = w * money("l_discount")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(wx).cast("double") / F.sum(w).cast("double")).alias(
+                "qty_weighted_disc"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def b42_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause / sum-of-CASE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", money("o_totalprice"))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(urgent).alias("n_urgent"),
+            F.coalesce(F.sum(urgent).cast("double"), F.lit(0.0)).alias("urgent_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def c42_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample correlation & covariance per group (rounded — engines
+    accumulate moments differently at the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_cov"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def grouped_zscore(ev: DataFrame) -> DataFrame:
     """Per-group z-score via ``applyInPandas`` — the grouped-map UDF surface
     (B30): each group arrives as one pandas DataFrame, Arrow both ways.
@@ -253,6 +334,10 @@ QUERIES = {
     "c34_rolling_1h": c34_rolling_1h,
     "c35_grouped_zscore": c35_grouped_zscore,
     "c26_sample": c26_sample,
+    "c40_topk_agg": c40_topk_agg,
+    "c41_weighted_avg": c41_weighted_avg,
+    "b42_filter_agg": b42_filter_agg,
+    "c42_corr": c42_corr,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -362,6 +447,36 @@ ORACLE = {
         FROM documents,
              unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(pos)
         WHERE n_chars < 200
+    """,
+    "c40_topk_agg": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders
+        ) t WHERE rn <= 3
+    """,
+    "c41_weighted_avg": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_weighted_disc,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "b42_filter_agg": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+               COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderpriority = '1-URGENT') AS DOUBLE), 0.0) AS urgent_total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "c42_corr": """
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "c35_grouped_zscore": """
         SELECT event_id, event_type,

@@ -77,6 +77,42 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video/audio payloads: one input row fans out to
+    up to ``n_frames`` output rows (evenly spaced byte-slices standing in
+    for decoded frames — a real decoder swaps the slicing for ffmpeg-style
+    seeks; the 1->N Arrow batch shape and schema are the real contract).
+    Payload stays executor-side throughout."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                raw = bytes(payload)
+                k = min(n_frames, len(raw))
+                step = len(raw) // k
+                for i in range(k):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_bytes.append(raw[i * step : i * step + step])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_bytes, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def filter_by_metadata(
     media: DataFrame,
     kinds: list[str] | None = None,

@@ -42,6 +42,23 @@ def test_metadata_pruning_never_reads_payload(spark, media_df):
     assert {r.media_id for r in small.collect()} == {1}
 
 
+def test_frame_sampling_fans_out(spark, media_df):
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    frames = sample_frames(media_df, n_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media[2]) == 4          # 64-byte payload -> 4 frames
+    assert len(by_media[3]) == 4          # audio too
+    assert 4 not in by_media              # null payload -> no frames
+    # frames reassemble in order and are deterministic
+    f2 = sorted(by_media[2], key=lambda r: r.frame_idx)
+    assert b"".join(bytes(r.frame_bytes) for r in f2) == bytes(range(64))
+
+
 def test_real_decode_is_explicit_stub(spark, media_df):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media_df, decode_stub=False).collect()

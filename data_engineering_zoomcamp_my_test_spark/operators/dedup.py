@@ -431,6 +431,41 @@ def c33_minhash_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_bands_jvm(load_table(spark, sf_dir, "documents"))
 
 
+def c43_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup policy end-to-end: near-dup pairs -> connected
+    components -> keep the highest-quality doc per cluster (tie: lowest
+    doc_id). This is what a production training-data pipeline actually
+    ships: a keeper list, not just pairs."""
+    from ..functions.text import english_stopword_hits, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+
+    ntok = token_count("text").cast("double")
+    hits = english_stopword_hits("text").cast("double")
+    avg_wl = F.col("n_chars").cast("double") / ntok
+    quality = (hits / ntok) * F.lit(0.5) + (
+        F.lit(1.0) / (F.lit(1.0) + F.abs(avg_wl - F.lit(5.0)))
+    ) * F.lit(0.5)
+    scored = docs.select("doc_id", F.round(quality, 9).alias("q"))
+
+    member = clusters.join(scored, "doc_id")
+    best = member.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("q")),
+            F.struct(F.col("q"), -F.col("doc_id")),
+        ).alias("_best"),
+    )
+    return best.select(
+        "cluster",
+        F.col("_best.doc_id").alias("kept_doc_id"),
+        F.round(F.col("_best.q"), 6).alias("kept_quality"),
+        "n_members",
+    )
+
+
 def c27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
@@ -450,6 +485,7 @@ QUERIES = {
     "c29_incremental_dedup": c29_incremental_dedup,
     "c33_minhash_jvm": c33_minhash_jvm,
     "c36_dedup_clusters": c36_dedup_clusters,
+    "c43_keep_best_per_cluster": c43_keep_best_per_cluster,
 }
 
 _JACCARD_EDGES_SQL = """
@@ -488,6 +524,48 @@ ORACLE = {
         GROUP BY 2
     """,
     # c6_minhash / c6_lsh_dup_pairs: custom hash pipeline, rows-only check.
+    "c43_keep_best_per_cluster": f"""
+        WITH RECURSIVE edges AS (
+          {_JACCARD_EDGES_SQL}
+        ),
+        sym AS (
+          SELECT doc_id_a AS a, doc_id_b AS b FROM edges
+          UNION
+          SELECT doc_id_b, doc_id_a FROM edges
+        ),
+        reach(id, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
+        ),
+        clusters AS (
+          SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id
+        ),
+        scored AS (
+          SELECT doc_id,
+                 ROUND(
+                   (CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                 'for','on','with','as','at','by','be','this','that','are')))
+                      AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+                   + (1.0 / (1.0 + ABS(CAST(n_chars AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0))) * 0.5,
+                   9) AS q
+          FROM documents
+        ),
+        member AS (
+          SELECT c.cluster, c.doc_id, s.q FROM clusters c JOIN scored s USING (doc_id)
+        ),
+        ranked AS (
+          SELECT cluster, doc_id, q,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+          FROM member
+        )
+        SELECT cluster, doc_id AS kept_doc_id, ROUND(q, 6) AS kept_quality, n_members
+        FROM ranked WHERE rn = 1
+    """,
     "c36_dedup_clusters": f"""
         WITH RECURSIVE edges AS (
           {_JACCARD_EDGES_SQL}

@@ -60,6 +60,62 @@ def test_streaming_sliding_parity(spark, sf_small, tmp_path):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark: an event arriving
+    after its window is finalized must be DROPPED, not merged."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+
+    # batch 1: two events in the 10:00 window, one at 11:30 (advances
+    # watermark past 11:00 -> finalizes the 10:00 window at 2 events).
+    # coalesce(1): each landed batch must be ONE file so the file source
+    # processes it as one trigger (multiple parts would be triggered in
+    # arbitrary order and the watermark would drop on-time rows).
+    mk(["2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 11:30:00"]).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("late_out").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a VERY late event for the finalized 10:00 window, plus a
+        # 13:00 event that finalizes the 11:00 window
+        mk(["2024-01-01 10:15:00", "2024-01-01 13:00:00"]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.ws: r.n for r in spark.table("late_out").collect()}
+    h10 = 1704103200000000  # 2024-01-01 10:00:00 UTC in epoch micros
+    h11 = h10 + 3600000000
+    assert out[h10] == 2, f"late event merged into finalized window: {out}"
+    assert out[h11] == 1
+    assert max(out) <= h11 + 3600000000  # 13:00 window not finalized/emitted
+
+
 def test_foreach_batch_exactly_once_resume(spark, sf_small, tmp_path):
     """Checkpointed foreachBatch pipeline: restart after new files arrive
     processes only the new data; total output is complete with no dupes."""

@@ -260,6 +260,10 @@ def grouped_zscore(ev: DataFrame) -> DataFrame:
     import pandas as pd
 
     def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Deterministic accumulation order: rows arrive in partition order,
+        # which varies with cluster layout; float mean/std are
+        # order-sensitive at the last ulp.
+        pdf = pdf.sort_values("event_id")
         m = pdf["value"].mean()
         s = pdf["value"].std(ddof=1)
         return pd.DataFrame(

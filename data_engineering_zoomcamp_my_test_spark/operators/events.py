@@ -94,6 +94,39 @@ def c9_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c44_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion funnel: per user, how many sessions, how
+    many contained a view, how many converted (view AND purchase in the
+    same session). Sessionization window + conditional aggregation — the
+    standard product-analytics composition."""
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev_us = F.lag(ts_us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_us), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("session_seq", F.sum(new_session).over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("has_view").alias("n_view_sessions"),
+            F.sum(
+                F.when((F.col("has_view") == 1) & (F.col("has_purchase") == 1), 1).otherwise(0)
+            ).alias("n_converted"),
+        )
+    )
+
+
 def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -146,6 +179,7 @@ QUERIES = {
     "c10_json_extract": c10_json_extract,
     "c21_json_agg": c21_json_agg,
     "c22_hourly_top_event": c22_hourly_top_event,
+    "c44_session_funnel": c44_session_funnel,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -191,6 +225,34 @@ ORACLE = {
                COUNT(*) AS n_events,
                {_MONEY_SUM_VALUE} AS total_value
         FROM numbered GROUP BY user_id, session_seq
+    """,
+    "c44_session_funnel": f"""
+        WITH flagged AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                        > {SESSION_GAP_MINUTES} * 60 * 1000000
+                      OR LAG(epoch_us(ts)) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged
+        ),
+        sessions AS (
+          SELECT user_id, session_seq,
+                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+          FROM numbered GROUP BY user_id, session_seq
+        )
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(has_view) AS BIGINT) AS n_view_sessions,
+               CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_converted
+        FROM sessions GROUP BY user_id
     """,
     "c10_json_extract": """
         SELECT event_id, event_type,

@@ -1,6 +1,9 @@
 from .writers import (
+    compact_parquet,
     publish_to_object_store,
     save_table,
+    scd2_apply,
+    scd2_init,
     upsert_table,
     write_csv,
     write_parquet,
@@ -8,8 +11,11 @@ from .writers import (
 )
 
 __all__ = [
+    "compact_parquet",
     "publish_to_object_store",
     "save_table",
+    "scd2_apply",
+    "scd2_init",
     "upsert_table",
     "write_csv",
     "write_parquet",

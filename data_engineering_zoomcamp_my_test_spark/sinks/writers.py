@@ -118,6 +118,83 @@ def upsert_table(
     merged.localCheckpoint().write.mode("overwrite").saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target-sized files (the steady-state housekeeping job every
+    file-dropped dataset needs — streaming sinks and incremental ingests
+    accumulate small files that degrade scan planning). Returns the new
+    file count. Atomicity: rewrite to a staging dir, then swap."""
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    staging = tempfile.mkdtemp(prefix="compact_")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return n_files
+
+
+def scd2_apply(
+    spark: SparkSession,
+    history_table: str,
+    updates: DataFrame,
+    key: str,
+    batch_ts: str,
+) -> None:
+    """Slowly-changing-dimension type 2: keep full history with
+    valid_from/valid_to/is_current columns. Updated keys close their
+    current row (valid_to = batch_ts) and append a new current row.
+    Emulated without a transactional format the same way MERGE is
+    (see ``upsert_table``): one anti/semi join pass + union + atomic
+    per-table overwrite."""
+    base = spark.table(history_table)
+    data_cols = [c for c in updates.columns]
+    keys = updates.select(key).distinct()
+
+    from pyspark.sql import functions as F
+
+    untouched = base.join(keys, key, "left_anti")
+    closed = (
+        base.join(keys, key, "left_semi")
+        .filter(F.col("is_current"))
+        .withColumn("valid_to", F.lit(batch_ts))
+        .withColumn("is_current", F.lit(False))
+    )
+    still_history = base.join(keys, key, "left_semi").filter(~F.col("is_current"))
+    fresh = (
+        updates.withColumn("valid_from", F.lit(batch_ts))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+        .withColumn("is_current", F.lit(True))
+        .select(*data_cols, "valid_from", "valid_to", "is_current")
+    )
+    merged = untouched.unionByName(closed).unionByName(still_history).unionByName(fresh)
+    merged.localCheckpoint().write.mode("overwrite").saveAsTable(history_table)
+
+
+def scd2_init(
+    spark: SparkSession, history_table: str, initial: DataFrame, batch_ts: str
+) -> None:
+    """Create an SCD2 history table from an initial snapshot."""
+    from pyspark.sql import functions as F
+
+    df = (
+        initial.withColumn("valid_from", F.lit(batch_ts))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+        .withColumn("is_current", F.lit(True))
+    )
+    df.write.mode("overwrite").saveAsTable(history_table)
+
+
 def write_warehouse_table(
     spark: SparkSession,
     df_or_uri: DataFrame | str,

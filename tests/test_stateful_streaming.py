@@ -10,6 +10,29 @@ from data_engineering_zoomcamp_my_test_spark.streaming.stateful import (
 )
 
 
+def test_tws_processor_matches_batch(spark, sf_small, tmp_path):
+    """transformWithStateInPandas (StatefulProcessor) ledger == batch agg ==
+    applyInPandasWithState ledger."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.processor import (
+        streaming_user_ledger_tws,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "tws_src")
+    events.repartition(6).write.parquet(src)
+
+    try:
+        stream = streaming_user_ledger_tws(spark, src, query_name="tws_parity")
+    except Exception as exc:  # pragma: no cover - API gate on this build
+        pytest.skip(f"transformWithStateInPandas unavailable: {exc}")
+    batch = batch_user_ledger(spark.read.parquet(src))
+    s = {r.user_id: (r.n_events, r.total_value) for r in stream.collect()}
+    b = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
 def test_stateful_ledger_matches_batch(spark, sf_small, tmp_path):
     events = load_table(spark, sf_small, "events")
     src = str(tmp_path / "ledger_src")

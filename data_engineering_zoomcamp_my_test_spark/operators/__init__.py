@@ -23,14 +23,47 @@ from . import analytics, dedup, events, relational, similarity, text, transforms
 
 _MODULES = (transforms, relational, dedup, similarity, text, events, analytics)
 
+# Registry order is part of the external verification contract: the driver
+# oracle-checks the first ~50 entries of ``queries()``.  Every SURVEY §2
+# mandated declaration must therefore sit inside that window, ahead of the
+# extended/bonus variants.  ``_PRIORITY`` pins the first 50 explicitly;
+# everything not named keeps module registry order after it.
+_PRIORITY = (
+    # Tier A query-shaped decls
+    "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
+    # Tier B core SQL surface (B1-B28)
+    "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
+    "b5_approx_distinct", "b6_join_inner", "b7_join_multiway", "b8_join_left",
+    "b9_join_anti", "b9_join_semi", "b10_join_range", "b11_cross",
+    "b12_subq_scalar", "b13_rollup", "b14_win_rank", "b15_win_lag",
+    "b16_win_frame", "b17_sort", "b18_topk", "b19_setops", "b20_case",
+    "b21_string_fns", "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
+    "b26_cte", "b27_having", "b28_array_fns",
+    # Tier C mandated rows C1-C10 (plus same-row companions c13/c9b/c21)
+    "c1_dedup_exact", "c2_dedup_norm",
+    "c3_cosine_topk", "c13_knn_all", "c4_lsh_knn",
+    "c5_text_stats",
+    "c6_minhash", "c6_lsh_dup_pairs",
+    "c7_tumbling", "c8_sliding",
+    "c9_session", "c9b_session_window",
+    "c10_json_extract", "c21_json_agg",
+    # Flagship dedup pipeline (LSH-fed clustering) + declared minhash hot path
+    "c36_dedup_clusters", "c43_keep_best_per_cluster", "c33_minhash_jvm",
+)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
-        overlap = out.keys() & mod.QUERIES.keys()
+        overlap = raw.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate declared queries: {overlap}")
-        out.update(mod.QUERIES)
+        raw.update(mod.QUERIES)
+    missing = [name for name in _PRIORITY if name not in raw]
+    if missing:
+        raise ValueError(f"_PRIORITY names not in registry: {missing}")
+    out = {name: raw[name] for name in _PRIORITY}
+    out.update((name, fn) for name, fn in raw.items() if name not in out)
     return out
 
 

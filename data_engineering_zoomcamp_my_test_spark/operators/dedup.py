@@ -9,7 +9,8 @@ signature-band) — no driver materialization, no cross join of the corpus.
 - MinHash/LSH: per-doc signatures (narrow, JVM-side or Arrow-batched) then a
   shuffle keyed by (band, band-hash) so only same-bucket docs ever meet —
   the standard sub-quadratic near-dup pipeline at 100 TB;
-- token-Jaccard verification joins only within candidate buckets.
+- exact token-Jaccard uses prefix filtering (AllPairs/PPJoin): candidate
+  join keyed only on each doc's rarest tokens — exact and sub-quadratic.
 
 The representative row of each duplicate group is chosen by MIN(doc_id) — a
 deterministic policy (``dropDuplicates`` keeps an arbitrary row, which would
@@ -184,49 +185,148 @@ def lsh_candidate_pairs(docs: DataFrame, jvm: bool = True) -> DataFrame:
 def token_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, block_col: str | None = None
 ) -> DataFrame:
-    """Exact token-set Jaccard similarity for all pairs sharing >= 1 token.
+    """Exact token-set Jaccard >= ``threshold`` pairs, with **stats-adaptive
+    plan selection** (the operator-level analogue of Catalyst's stats-based
+    join strategy):
 
-    Shuffle is keyed by token, so cost is sum over tokens of
-    (docs-with-token)^2 — quadratic in the worst case. ``block_col``
-    restricts pairs to the same block (e.g. crawl shard / source), the
-    standard way this is bounded in production; at 100 TB the block key is
-    an LSH bucket (``lsh_candidate_pairs``) and this operator verifies only
-    candidates.
+    - **Dense-bitset plan** when the corpus vocabulary fits in 64 bits
+      (probed with a bounded ``limit(65)`` collect): each doc's token set
+      becomes one BIGINT mask; J = bit_count(a&b)/bit_count(a|b) runs
+      entirely inside whole-stage codegen on longs. Enum-like corpora
+      (tags, categorical event streams) get this plan; on such data *every*
+      token is hot, so token-keyed candidate filters have no selectivity
+      and the blocked pair join + 2 popcounts is the cheapest exact plan.
+    - **Prefix-filter plan** (AllPairs/PPJoin family) otherwise — the
+      general 100 TB path; see ``_jaccard_pairs_prefix``.
+
+    Both plans produce identical (exact) results; the threshold filter and
+    double-division jaccard are shared so oracle parity is plan-invariant.
     """
-    toks = docs.select(
+    blk = [block_col] if block_col else []
+    base = docs.select(
         "doc_id",
-        *([block_col] if block_col else []),
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        *blk,
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("n_tok", F.size("toks"))
+    # bounded plan-selection probe: at most 65 rows ever reach the driver
+    vocab = [
+        r[0] for r in base.select(F.explode("toks").alias("tok")).distinct().take(65)
+    ]
+    if len(vocab) <= 64:
+        return _jaccard_pairs_bitset(base, sorted(vocab), threshold, block_col)
+    return _jaccard_pairs_prefix(base, threshold, block_col)
+
+
+def _jaccard_pairs_bitset(
+    base: DataFrame, vocab: list[str], threshold: float, block_col: str | None
+) -> DataFrame:
+    """Small-vocabulary exact Jaccard: token set -> 64-bit mask, blocked
+    self-join, popcount arithmetic. No explode, no candidate shuffle — the
+    only shuffle is the block-keyed pair join."""
+    quoted = ", ".join("'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'" for t in vocab)
+    mask = F.expr(
+        f"aggregate(transform(toks, t -> shiftleft(1L, "
+        f"cast(array_position(array({quoted}), t) - 1 as int))), "
+        f"0L, (acc, x) -> acc | x)"
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    cond = (F.col("a.tok") == F.col("b.tok")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
+    m = base.select("doc_id", *([block_col] if block_col else []), mask.alias("mask"), "n_tok")
+    a, b = m.alias("a"), m.alias("b")
+    cond = (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.n_tok") >= F.col("a.n_tok") * F.lit(threshold))
+        & (F.col("a.n_tok") >= F.col("b.n_tok") * F.lit(threshold))
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    common = (
+    inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+    union = F.bit_count(F.col("a.mask").bitwiseOR(F.col("b.mask")))
+    return (
         a.join(b, cond)
-        .groupBy(
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            inter.alias("_inter"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        # contract (both plans): pairs sharing >= 1 token with J >= threshold
+        .filter((F.col("_inter") > 0) & (F.col("jaccard") >= threshold))
+        .drop("_inter")
+    )
+
+
+def _jaccard_pairs_prefix(
+    base: DataFrame, threshold: float, block_col: str | None
+) -> DataFrame:
+    """Exact token-set Jaccard via **prefix filtering** (AllPairs/PPJoin) —
+    exact answers with a sub-quadratic plan on natural-language vocabularies.
+
+    Naive token-keyed self-join costs sum over tokens of (docs-per-token)^2;
+    one hot token ("the") makes a quadratic reducer at 100 TB. Prefix
+    filtering fixes that *without* losing exactness: order each doc's token
+    set by a global rarity order (ascending corpus frequency, token as
+    tiebreak) and keep only the first ``n_tok - ceil(t*n_tok) + 1`` tokens
+    (the doc's rarest). Any pair with J >= t must share a token *within both
+    prefixes* (pigeonhole on the minimum-order common token: J >= t implies
+    overlap >= ceil(t*n_tok) on each side), so the candidate join is keyed
+    only on rare tokens — hot-token buckets never form. Candidates are then
+    verified with one ``array_intersect`` per pair, all JVM expressions.
+
+    Stages (all linear shuffles except the rare-token candidate join):
+    explode -> token-frequency agg -> per-doc rank window -> prefix join
+    (with size pruning: J >= t forces t*|x| <= |y| <= |x|/t) -> verify.
+    ``block_col`` additionally restricts pairs to the same block.
+    """
+    from pyspark.sql.window import Window
+
+    blk = [block_col] if block_col else []
+    toks = base.select("doc_id", *blk, "n_tok", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = toks.join(freq, "tok").withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("tf", "tok")),
+    )
+    prefix_len = F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(threshold)) + 1
+    prefix = ranked.filter(F.col("rnk") <= prefix_len)
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # size pruning: J >= t is impossible outside these bounds
+        & (F.col("b.n_tok") >= F.col("a.n_tok") * F.lit(threshold))
+        & (F.col("a.n_tok") >= F.col("b.n_tok") * F.lit(threshold))
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cands = (
+        a.join(b, cond)
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+
+    ta = base.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tok").alias("n_tok_a"),
+    )
+    tb = base.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tok").alias("n_tok_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        common.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        cands.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
             (
-                F.col("n_common").cast("double")
-                / (
-                    F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
-                ).cast("double")
+                inter.cast("double")
+                / (F.col("n_tok_a") + F.col("n_tok_b") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -302,6 +402,9 @@ def simhash_near_pairs(
     )
 
 
+_CC_SMALL_GRAPH_NODES = 10_000_000
+
+
 def connected_components(
     ids: DataFrame,
     edges: DataFrame,
@@ -309,62 +412,98 @@ def connected_components(
     src_col: str = "doc_id_a",
     dst_col: str = "doc_id_b",
     max_iter: int = 20,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation — the step that turns
     pairwise near-dup candidates into duplicate *clusters* (keep one doc per
     component).
 
-    Iterative: each round, every node takes the min label among itself and
-    its neighbors; converges in O(diameter) rounds. Each round is one join +
-    aggregate (shuffle keyed by node); ``localCheckpoint`` truncates the
-    growing lineage so plans stay bounded — the standard Spark formulation
-    of an iterative graph algorithm without GraphX.
+    Each round is ONE shuffle: neighbor labels and self labels are unioned
+    and min-aggregated per node (the self row also guarantees every node
+    survives, so no left join is needed). Convergence is detected from a
+    monotone scalar — labels only ever decrease, so the exact DECIMAL sum of
+    labels strictly decreases until the fixpoint; two equal consecutive sums
+    mean converged, with no compare-join. ``localCheckpoint`` truncates
+    lineage so plans stay bounded — the standard Spark formulation of an
+    iterative graph algorithm without GraphX.
+
+    Round latency, not round compute, dominates on small graphs, so the
+    operator is stats-adaptive (node count is known from initialization):
+    below ``_CC_SMALL_GRAPH_NODES`` it pins the label map to one partition,
+    broadcasts it into the edge join, drops shuffle parallelism, and turns
+    AQE off for the loop (fixed-shape per-round plans gain nothing from
+    runtime re-planning but pay its per-stage scheduling latency). At
+    cluster scale none of that applies and the same loop runs with shuffle
+    joins + AQE. Session confs are restored on exit.
+
+    ``edges_unique=True`` skips the symmetrize-distinct when the caller
+    guarantees one row per undirected pair (true for ``token_jaccard_pairs``
+    and ``lsh_candidate_pairs`` outputs).
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds (a component with diameter > max_iter): silently returning the
+    unconverged labels would be *wrong*, not just slow.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .distinct()
-        .persist()
-    )
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    spark = ids.sparkSession
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if not edges_unique:
+        e = e.distinct()
+    e = e.persist()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    n_nodes = labels.count()
+    small = n_nodes <= _CC_SMALL_GRAPH_NODES
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled", "true"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions", "200"),
+    }
+    if small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        labels = labels.repartition(1)
+    labels = labels.localCheckpoint()
+    try:
+        prev_sum = None
+        for _ in range(max_iter):
+            lab = F.broadcast(labels) if small else labels
+            contrib = sym.join(lab, sym.b == lab.id).select(
+                F.col("a").alias("id"), "label"
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
+            merged = contrib.unionAll(labels).groupBy("id").agg(
+                F.min("label").alias("label")
+            )
+            if small:
+                merged = merged.repartition(1)
+            merged = merged.localCheckpoint()
+            # exact (DECIMAL) sum: strictly decreases until the fixpoint
+            cur_sum = merged.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            labels = merged
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "raise max_iter — a component's diameter exceeds it"
+            )
+    finally:
+        e.unpersist()
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 
 def c36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup clustering pipeline: exact token-Jaccard pairs (blocked
-    by source) -> connected components -> (doc_id, cluster) where cluster is
-    the min doc_id reachable. Docs in no pair form singleton clusters."""
+    """Full near-dup clustering pipeline: exact token-Jaccard pairs via
+    prefix filtering (blocked by source) -> connected components ->
+    (doc_id, cluster) where cluster is the min doc_id reachable. Docs in no
+    pair form singleton clusters."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
-    return connected_components(docs.select("doc_id"), pairs)
+    return connected_components(docs.select("doc_id"), pairs, edges_unique=True)
 
 
 # --- declared queries ---------------------------------------------------------
@@ -440,7 +579,7 @@ def c43_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
-    clusters = connected_components(docs.select("doc_id"), pairs)
+    clusters = connected_components(docs.select("doc_id"), pairs, edges_unique=True)
 
     ntok = token_count("text").cast("double")
     hits = english_stopword_hits("text").cast("double")

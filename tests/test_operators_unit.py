@@ -157,3 +157,39 @@ def test_skewed_group_key(spark):
     df = spark.createDataFrame(rows, "id long, k string").repartition(16)
     out = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert out == {"hot": 9000, "cold": 1000}
+
+
+def test_simhash_band_pigeonhole_recall(spark):
+    """A pair within max_hamming bits must ALWAYS be found (pigeonhole:
+    n_bands > max_hamming). Constructed worst case: 7 differing bits spread
+    across 7 different 8-bit bands — a 4-band scheme would miss it."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        _simhash_band_pairs,
+    )
+
+    # doc 2 differs from doc 1 in bits 0,8,16,24,32,40,48 (7 bands touched)
+    x = 0
+    y = sum(1 << (8 * i) for i in range(7))
+    # doc 3 differs from doc 1 in 11 bits -> must be filtered (> max_hamming)
+    z = (1 << 11) - 1
+    sh = spark.createDataFrame(
+        [(1, x), (2, y), (3, z)], "doc_id long, simhash long"
+    )
+    rows = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in _simhash_band_pairs(sh, max_hamming=10, n_bands=16).collect()
+    }
+    assert rows[(1, 2)] == 7
+    assert (1, 3) not in rows  # hamming 11 > 10
+    assert (2, 3) not in rows  # hamming 14 > 10
+
+
+def test_simhash_near_pairs_rejects_bad_bands(spark):
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=10, n_bands=4)

@@ -100,8 +100,9 @@ def b4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def b5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        # rsd=0.02: |approx-exact|/exact < 5% is asserted in tests/test_properties.py
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
     )
 
 

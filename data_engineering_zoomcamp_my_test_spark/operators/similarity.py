@@ -94,6 +94,58 @@ def lsh_ann(
     return res.select("vec_id", "label", "l2_dist")
 
 
+def lsh_knn_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dist_threshold: float = 1.5,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN for a whole DataFrame of queries at once, via MLlib
+    ``approxSimilarityJoin`` — a (hash-table, bucket)-keyed join between
+    corpus and queries, so the *entire* batch path is distributed: no
+    per-query driver hop (``approxNearestNeighbors`` is single-query /
+    driver-oriented and is deliberately not used here). Candidates within
+    ``dist_threshold`` L2 are exact-ranked per query; top-k kept.
+
+    For unit-normalized vectors d = sqrt(2 - 2cos), so the default
+    threshold 1.5 admits everything down to cos ~ -0.125."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    to_vec = lambda df: df.withColumn(  # noqa: E731
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    corpus = to_vec(embeddings)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(corpus)
+    joined = model.approxSimilarityJoin(
+        corpus, to_vec(queries), dist_threshold, distCol="l2_dist"
+    )
+    pairs = joined.select(
+        F.col(f"datasetB.{id_col}").alias("query_id"),
+        F.col(f"datasetA.{id_col}").alias("neighbor_id"),
+        F.round("l2_dist", 6).alias("l2_dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
 def ivf_index(
     embeddings: DataFrame, n_cells: int = 16, seed: int = 42
 ) -> tuple["object", DataFrame]:
@@ -121,16 +173,33 @@ def ivf_search(
     n_probe: int = 2,
 ) -> DataFrame:
     """Search only the ``n_probe`` cells nearest to each query vector, then
-    exact cosine within those cells — the IVF recall/efficiency trade."""
+    exact cosine within those cells — the IVF recall/efficiency trade.
+
+    Cell assignment is an Arrow-batched pandas_udf over the broadcast-by-
+    closure centers matrix (one vectorized distance matrix per batch) — no
+    row-at-a-time Python anywhere; defined as a local closure so cloudpickle
+    ships it by value (workers don't need this package importable)."""
     import numpy as np
 
-    centers = model.clusterCenters()
+    centers = np.asarray(model.clusterCenters(), dtype="float64")
+    probe = n_probe
 
-    @F.udf("array<int>")
-    def nearest_cells(vec):
-        v = np.asarray(vec, dtype="float64")
-        d = [float(np.linalg.norm(v - c)) for c in centers]
-        return [int(i) for i in np.argsort(d)[:n_probe]]
+    def _nearest_cells_batch(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        C = centers  # (n_cells, dim)
+        mat = _np.asarray([_np.asarray(v, dtype="float64") for v in vecs])
+        # (batch, n_cells) squared distances in one BLAS pass
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * mat @ C.T
+            + (C * C).sum(axis=1)[None, :]
+        )
+        order = _np.argsort(d2, axis=1, kind="stable")[:, :probe]
+        return _pd.Series([[int(c) for c in row] for row in order])
+
+    nearest_cells = F.pandas_udf("array<int>")(_nearest_cells_batch)
 
     q = query.select(
         F.col("vec_id").alias("query_id"),
@@ -188,7 +257,18 @@ def c19_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model, assigned = ivf_index(emb, n_cells=8)
     assigned = assigned.persist()
-    return ivf_search(model, assigned, emb.filter(F.col("vec_id") == 1), k=10)
+    # n_probe=4 of 8 cells: measured recall >= 0.9 vs brute force on the
+    # synthetic corpus (tests/test_properties.py pins this bound)
+    return ivf_search(
+        model, assigned, emb.filter(F.col("vec_id") == 1), k=10, n_probe=4
+    )
+
+
+def c45_lsh_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch ANN: 10 queries resolved in one bucket-keyed
+    approxSimilarityJoin — the no-driver-hop LSH path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_knn_batch(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,6 +343,7 @@ QUERIES = {
     "c13_knn_all": c13_knn_all,
     "c4_lsh_knn": c4_lsh_knn,
     "c19_ivf_knn": c19_ivf_knn,
+    "c45_lsh_knn_batch": c45_lsh_knn_batch,
     "c18_embed_neardup": c18_embed_neardup,
 }
 

@@ -77,3 +77,47 @@ def test_union_count_additive(spark):
     df2 = spark.range(50)
     assert df1.union(df2).count() == 150
     assert df1.union(df2).distinct().count() == 100
+
+
+def test_lsh_batch_and_ivf_recall_vs_brute_force(spark, sf_small):
+    """Approximate operators are bounded from below against the exact
+    baseline: a wrong-but-runs ANN can no longer pass silently.
+    Batch-LSH and IVF(4-probe) must both hit recall >= 0.9 on k=5."""
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        lsh_knn_batch,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    got_lsh = {}
+    for r in lsh_knn_batch(emb, queries, k=5).collect():
+        got_lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got_lsh.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"batch-LSH recall too low: {hits / total}"
+
+    model, assigned = ivf_index(emb, n_cells=8)
+    got_ivf = {}
+    for r in ivf_search(model, assigned, queries, k=5, n_probe=4).collect():
+        got_ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got_ivf.get(q, set())) for q in truth)
+    assert hits / total >= 0.9, f"IVF recall too low: {hits / total}"
+
+
+def test_approx_distinct_within_tolerance(spark, sf_small):
+    """b5's HLL sketch must land within 5% of the exact distinct count."""
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")
+    ).first().n
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)

@@ -6,6 +6,7 @@ from .writers import (
     scd2_init,
     upsert_table,
     write_csv,
+    write_jdbc,
     write_parquet,
     write_warehouse_table,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "scd2_init",
     "upsert_table",
     "write_csv",
+    "write_jdbc",
     "write_parquet",
     "write_warehouse_table",
 ]

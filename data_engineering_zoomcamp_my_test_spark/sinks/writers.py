@@ -63,6 +63,33 @@ def save_table(
         raise
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    if_exists: str = "replace",
+    properties: dict[str, str] | None = None,
+) -> bool:
+    """Network-database sink — the reference's one TCP boundary (it pushed
+    frames into Postgres via SQLAlchemy ``to_sql``, reference
+    week_1/data_ingest/data_ingest.py:97-99). ``df.write.jdbc`` opens one
+    connection per partition, so rows stream from the executors in
+    parallel — no driver materialization; partition count is the
+    concurrency knob (the reference's chunked ``to_sql`` loop becomes
+    partition sizing). Same ``if_exists`` contract as ``save_table``."""
+    mode = _MODE_MAP[if_exists]
+    try:
+        df.write.mode(mode).jdbc(url, table, properties=properties or {})
+        return True
+    except AnalysisException as exc:
+        if mode == "errorifexists":
+            logger.warning(
+                "jdbc table %s exists; skipping (if_exists=fail): %s", table, exc
+            )
+            return False
+        raise
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -96,6 +123,22 @@ def publish_to_object_store(df: DataFrame, uri: str, fmt: str = "parquet") -> No
         raise ValueError(f"unsupported object-store format: {fmt}")
 
 
+def _staged_table_swap(spark: SparkSession, table: str, merged: DataFrame) -> None:
+    """Crash-safe replacement of a managed table's contents: the merged
+    result is made durable in a staging table FIRST, then swapped in with
+    metastore renames, and the old generation is dropped LAST. A crash at
+    any step leaves either the intact base (+ a reusable staging table) or
+    both generations — never zero copies, unlike a read + in-place
+    ``overwrite`` (which drops the base before rewriting it)."""
+    staging, old = f"{table}__staging", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    merged.write.mode("errorifexists").saveAsTable(staging)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+
+
 def upsert_table(
     spark: SparkSession,
     table: str,
@@ -104,18 +147,27 @@ def upsert_table(
 ) -> None:
     """MERGE-style upsert without a transactional table format: new rows
     replace base rows with the same key; unmatched base rows survive.
-    Emulated as ``updates UNION ALL (base ANTI-JOIN update-keys)`` and an
-    atomic-per-table overwrite — the classic CDC merge shape Spark runs
-    when Delta/Iceberg jars aren't available (their MERGE INTO compiles to
-    this same join under the hood). At 100 TB the base is bucketed on the
-    key so the anti-join is shuffle-free on the big side."""
+    Emulated as ``updates UNION ALL (base ANTI-JOIN update-keys)`` — the
+    classic CDC merge shape Spark runs when Delta/Iceberg jars aren't
+    available (their MERGE INTO compiles to this same join under the hood).
+    Durability: staged-write + rename swap (``_staged_table_swap``), so the
+    base table is never the only copy mid-operation. At 100 TB the base is
+    bucketed on the key so the anti-join is shuffle-free on the big side."""
     base = spark.table(table)
     keys = updates.select(key).distinct()
     survivors = base.join(keys, key, "left_anti")
     merged = updates.select(*base.columns).unionAll(survivors)
-    # Overwrite requires materializing first (can't read+overwrite the same
-    # table in one plan): stage to a temp view via a local checkpoint.
-    merged.localCheckpoint().write.mode("overwrite").saveAsTable(table)
+    _staged_table_swap(spark, table, merged)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any supported scheme — local, HDFS, or an
+    object store with its connector on the classpath. File sizing and
+    renames must go through this API, not ``pathlib``, to work off-box."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def compact_parquet(
@@ -127,20 +179,35 @@ def compact_parquet(
     ~target-sized files (the steady-state housekeeping job every
     file-dropped dataset needs — streaming sinks and incremental ingests
     accumulate small files that degrade scan planning). Returns the new
-    file count. Atomicity: rewrite to a staging dir, then swap."""
-    import shutil
-    import tempfile
+    file count.
 
-    df = spark.read.parquet(path)
-    total_bytes = sum(
-        f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
-    )
+    Crash safety, delete-last: the rewrite lands in a *sibling* staging
+    directory on the same filesystem (no cross-FS move, which would degrade
+    to a non-atomic copy), the current generation is renamed aside, staging
+    renamed in, and the old generation deleted only at the very end. A
+    crash at any point leaves at least one complete copy of the data.
+    Sizing and renames use the Hadoop FileSystem API so the operator works
+    against object stores, not just a local disk."""
+    fs, target = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    # clear leftovers from a previously crashed run (idempotent re-entry)
+    for leftover in (staging, old):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+
+    total_bytes = fs.getContentSummary(target).getLength()
     n_files = max(1, round(total_bytes / target_file_bytes))
-    staging = tempfile.mkdtemp(prefix="compact_")
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("errorifexists").parquet(str(staging))
+    if not fs.rename(target, old):
+        raise IOError(f"compact_parquet: could not rename {path} aside")
+    if not fs.rename(staging, target):
+        # roll back so the dataset stays readable at its original path
+        fs.rename(old, target)
+        raise IOError(f"compact_parquet: could not swap staging into {path}")
+    fs.delete(old, True)
     return n_files
 
 
@@ -155,8 +222,8 @@ def scd2_apply(
     valid_from/valid_to/is_current columns. Updated keys close their
     current row (valid_to = batch_ts) and append a new current row.
     Emulated without a transactional format the same way MERGE is
-    (see ``upsert_table``): one anti/semi join pass + union + atomic
-    per-table overwrite."""
+    (see ``upsert_table``): one anti/semi join pass + union, landed via
+    staged-write + rename swap (``_staged_table_swap``)."""
     base = spark.table(history_table)
     data_cols = [c for c in updates.columns]
     keys = updates.select(key).distinct()
@@ -178,7 +245,7 @@ def scd2_apply(
         .select(*data_cols, "valid_from", "valid_to", "is_current")
     )
     merged = untouched.unionByName(closed).unionByName(still_history).unionByName(fresh)
-    merged.localCheckpoint().write.mode("overwrite").saveAsTable(history_table)
+    _staged_table_swap(spark, history_table, merged)
 
 
 def scd2_init(

@@ -74,3 +74,62 @@ def test_scd2_history_tracking(spark):
         assert [r.is_current for r in bob2] == [False, False, True]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_scd2")
+
+
+def test_compact_leaves_no_staging_dirs(spark, sf_small, tmp_path):
+    """Delete-last swap: after success neither the staging nor the
+    pre-compact generation may linger; a stale staging dir from a crashed
+    run must not break re-entry."""
+    src = spark.read.parquet(f"{sf_small}/region.parquet")
+    path = str(tmp_path / "ds")
+    src.repartition(5).write.parquet(path)
+    # simulate a crashed previous run's leftovers
+    os.makedirs(path + "__compacting", exist_ok=True)
+    compact_parquet(spark, path)
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+    assert spark.read.parquet(path).count() == src.count()
+
+
+def test_upsert_staged_swap_cleans_up(spark):
+    from data_engineering_zoomcamp_my_test_spark.sinks import upsert_table
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    base.write.mode("overwrite").saveAsTable("t_upsert")
+    try:
+        upsert_table(
+            spark,
+            "t_upsert",
+            spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+            "id",
+        )
+        got = {r.id: r.v for r in spark.table("t_upsert").collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        # swap artifacts are gone
+        assert not spark.catalog.tableExists("t_upsert__staging")
+        assert not spark.catalog.tableExists("t_upsert__old")
+    finally:
+        for t in ("t_upsert", "t_upsert__staging", "t_upsert__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """A4's network-sink arm: write over JDBC to an embedded Derby DB and
+    read it back. Skipped when no embedded driver is available."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.sinks import write_jdbc
+
+    url = "jdbc:derby:memory:enginetest;create=true"
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, v string")
+    try:
+        assert write_jdbc(df, url, "t_jdbc", if_exists="replace")
+    except Exception as exc:  # pragma: no cover - env-dependent
+        if "ClassNotFound" in str(exc) or "No suitable driver" in str(exc):
+            pytest.skip(f"no embedded JDBC driver: {exc}")
+        raise
+    back = spark.read.jdbc(url, "t_jdbc")
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y"), (3, "z")]
+    # append arm doubles the rows
+    assert write_jdbc(df, url, "t_jdbc", if_exists="append")
+    assert spark.read.jdbc(url, "t_jdbc").count() == 6

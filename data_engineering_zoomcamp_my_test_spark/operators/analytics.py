@@ -172,22 +172,41 @@ def c34_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_k_per_group_agg(
-    df: DataFrame, group_col: str, order_col: str, tiebreak_col: str, k: int
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    n_salt: int = 16,
 ) -> DataFrame:
-    """Top-k per group WITHOUT a window sort: collect per-group structs with
-    partial aggregation, sort the tiny k-bounded array, explode. At scale
-    this beats ``row_number() OVER`` because the shuffle carries one
-    k-element array per group instead of every row, and no per-partition
-    full sort happens. Descending order via exact negation of the 2-decimal
-    order key."""
+    """Top-k per group WITHOUT a window sort, as a salted two-phase
+    aggregation. Stage 1 groups by (group, salt) and truncates each salted
+    bucket to its k best — so per-reducer state is bounded at k structs and
+    a hot group's rows spread across ``n_salt`` reducers instead of melting
+    one. Stage 2 merges at most ``n_salt * k`` survivors per group and
+    re-truncates. Every input row is still shuffled once (any exact top-k
+    must route each row to a reducer), but unlike ``row_number() OVER`` no
+    per-partition full sort ever runs and no reducer ever holds a whole hot
+    group. Descending order via exact negation of the 2-decimal order key;
+    (order, tiebreak) makes the result deterministic."""
     item = F.struct(
         (-money(order_col)).alias("_neg"),
         F.col(tiebreak_col).alias("_tb"),
         F.col(order_col).alias("_v"),
     )
-    return (
-        df.groupBy(group_col)
+    salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(n_salt))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(group_col, "_salt")
         .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
+    )
+    return (
+        stage1.groupBy(group_col)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+            ).alias("_top")
+        )
         .select(group_col, F.posexplode("_top").alias("_pos", "_it"))
         .select(
             group_col,
@@ -380,7 +399,7 @@ ORACLE = {
     """,
     "c9b_session_window": f"""
         WITH flagged AS (
-          SELECT user_id, value, epoch_us(ts) AS ts_us,
+          SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
                       OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
           FROM events
@@ -388,7 +407,7 @@ ORACLE = {
         ),
         numbered AS (
           SELECT *, SUM(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts_us
+            PARTITION BY user_id ORDER BY ts_us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
           FROM flagged
         )

@@ -228,7 +228,7 @@ ORACLE = {
     """,
     "c44_session_funnel": f"""
         WITH flagged AS (
-          SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                         > {SESSION_GAP_MINUTES} * 60 * 1000000
                       OR LAG(epoch_us(ts)) OVER w IS NULL
@@ -238,7 +238,7 @@ ORACLE = {
         ),
         numbered AS (
           SELECT *, SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts_us
+            PARTITION BY user_id ORDER BY ts_us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM flagged
         ),

@@ -47,8 +47,9 @@ _PRIORITY = (
     "c7_tumbling", "c8_sliding",
     "c9_session", "c9b_session_window",
     "c10_json_extract", "c21_json_agg",
-    # Flagship dedup pipeline (LSH-fed clustering) + declared minhash hot path
-    "c36_dedup_clusters", "c43_keep_best_per_cluster", "c33_minhash_jvm",
+    # Flagship dedup pipeline + decontamination (both hash-checkable; the
+    # rows-only minhash hot path c33 yields its window slot to them)
+    "c36_dedup_clusters", "c43_keep_best_per_cluster", "c46_decontaminate",
 )
 
 

@@ -644,6 +644,62 @@ def c28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+_SHINGLE_SET_EXPR = (
+    "array_distinct(transform("
+    "sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+)
+
+
+def decontaminate(
+    corpus: DataFrame, heldout: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Test-set decontamination — the training-data hygiene op every LLM
+    pipeline runs before training: find corpus documents sharing any
+     3-token shingle with a held-out evaluation set, with the overlap count
+    as evidence. Plan: the held-out side reduces to a distinct-shingle set
+    (eval sets are small by construction — broadcast); the corpus side is
+    one linear explode joined on the shingle — no corpus self-join, scales
+    with corpus size."""
+    test_sh = F.broadcast(
+        heldout.select(F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("sh")).distinct()
+    )
+    corp = corpus.select(
+        "doc_id", "source", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("sh")
+    )
+    return (
+        corp.join(test_sh, "sh")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def c46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'src0' plays the held-out benchmark; every other source is training
+    corpus. Output: contaminated docs + how many of their distinct shingles
+    appear in the benchmark."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"), docs.filter(F.col("source") == "src0")
+    )
+
+
+def c47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from a content hash — the
+    reproducible split a training pipeline needs (no RNG, no state: the
+    same doc always lands in the same split, on any cluster layout). First
+    hex nibble of md5(text): 12/16 train, 2/16 val, 2/16 test. Pure
+    projection — embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(nib.isin("c", "d"), "val")
+        .when(nib.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
 QUERIES = {
     "c1_dedup_exact": c1_dedup_exact,
     "c2_dedup_norm": c2_dedup_norm,
@@ -656,6 +712,8 @@ QUERIES = {
     "c33_minhash_jvm": c33_minhash_jvm,
     "c36_dedup_clusters": c36_dedup_clusters,
     "c43_keep_best_per_cluster": c43_keep_best_per_cluster,
+    "c46_decontaminate": c46_decontaminate,
+    "c47_hash_split": c47_hash_split,
 }
 
 _JACCARD_EDGES_SQL = """
@@ -786,5 +844,30 @@ ORACLE = {
         JOIN sizes sb ON doc_id_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE)
                  / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
+    """,
+    "c46_decontaminate": """
+        WITH sh_of AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shs
+          FROM documents
+        ),
+        test AS (
+          SELECT DISTINCT unnest(shs) AS sh FROM sh_of WHERE source = 'src0'
+        ),
+        corp AS (
+          SELECT doc_id, source, unnest(shs) AS sh FROM sh_of WHERE source <> 'src0'
+        )
+        SELECT doc_id, source, COUNT(*) AS n_shared_shingles
+        FROM corp JOIN test USING (sh)
+        GROUP BY doc_id, source
+    """,
+    "c47_hash_split": """
+        SELECT doc_id, source,
+               CASE WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                    WHEN substring(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
     """,
 }

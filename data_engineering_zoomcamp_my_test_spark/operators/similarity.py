@@ -300,6 +300,72 @@ def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_blocked_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs with **LSH buckets as the blocking key** —
+    the 100 TB form of ``c18_embed_neardup``: instead of a data column
+    (label/shard) whose skew can make one block quadratic, pairs only form
+    inside a (hash-table, bucket) cell of BucketedRandomProjectionLSH, so
+    block sizes follow the projection, not the data's label skew. Exact
+    cosine verification runs on candidates only; recall vs the exact
+    variant is pinned in tests/test_properties.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    data = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    buckets = (
+        lsh.fit(data)
+        .transform(data)
+        .withColumn("_norm", l2_norm("embedding"))
+        .select(
+            "vec_id",
+            "embedding",
+            "_norm",
+            F.posexplode("hashes").alias("_table", "_h"),
+        )
+        .withColumn("_bucket", vector_to_array("_h").getItem(0))
+        .drop("_h")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._table") == F.col("b._table"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(
+                dot_product(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+
+
+def c48_lsh_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_blocked_neardup(emb)
+
+
 def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embeddings (the standard pre-step before cosine ANN:
     normalized vectors turn cosine into dot product). Array-valued output,
@@ -345,6 +411,7 @@ QUERIES = {
     "c19_ivf_knn": c19_ivf_knn,
     "c45_lsh_knn_batch": c45_lsh_knn_batch,
     "c18_embed_neardup": c18_embed_neardup,
+    "c48_lsh_embed_neardup": c48_lsh_embed_neardup,
 }
 
 _COS = (

@@ -121,3 +121,23 @@ def test_approx_distinct_within_tolerance(spark, sf_small):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")
     ).first().n
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_lsh_blocked_neardup_recall(spark, sf_small):
+    """The LSH-bucket-blocked near-dup (c48, the 100 TB plan) must find at
+    least 90% of the exact label-blocked variant's pairs (c18)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        c18_embed_neardup,
+        c48_lsh_embed_neardup,
+    )
+
+    truth = {
+        (r.vec_id_a, r.vec_id_b) for r in c18_embed_neardup(spark, sf_small).collect()
+    }
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in c48_lsh_embed_neardup(spark, sf_small).collect()
+    }
+    assert truth, "fixture produced no exact pairs"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"LSH-blocked near-dup recall too low: {recall}"

@@ -54,23 +54,35 @@ _PARAMS = _hash_params()
 
 def _make_minhash_udf():
     """Arrow-batched MinHash signature UDF (C6). Python is unavoidable for
-    the shingling+hash loop, so it runs vectorized per batch, not per row.
+    the shingling+hash loop, so it runs vectorized: per doc, all 32 hash
+    functions evaluate as ONE NumPy broadcast ``(a*s + b) % p`` over the
+    shingle vector (no per-hash Python loop). Arithmetic lives in the
+    31-bit prime field so int64 products cannot overflow (crc32 shingles
+    reduced mod 2^31-1 first; a,b < 2^31 ⇒ a*s+b < 2^62).
 
     Built as a local closure so cloudpickle serializes it **by value**:
     Python workers don't need this package importable (the engine may be
     driven from any cwd / sys.path arrangement)."""
-    params, prime, k = _PARAMS, _MINHASH_PRIME, _SHINGLE_K
+    p31, k = _MINHASH_PRIME_31, _SHINGLE_K
+    a_params = [(a % p31) or 1 for a, _ in _PARAMS]
+    b_params = [b % p31 for _, b in _PARAMS]
     crc32 = zlib.crc32
 
-    def sig_of(text: str) -> list[int]:
-        toks = text.split()
-        shingles = {
-            crc32(" ".join(toks[i : i + k]).encode())
-            for i in range(max(1, len(toks) - k + 1))
-        }
-        return [min((a * s + b) % prime for s in shingles) for a, b in params]
-
     def batch(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.asarray(a_params, dtype=np.int64)[:, None]
+        b = np.asarray(b_params, dtype=np.int64)[:, None]
+
+        def sig_of(text: str) -> list[int]:
+            toks = text.split()
+            shingles = {
+                crc32(" ".join(toks[i : i + k]).encode())
+                for i in range(max(1, len(toks) - k + 1))
+            }
+            s = np.fromiter(shingles, dtype=np.int64, count=len(shingles)) % p31
+            return [int(x) for x in ((a * s[None, :] + b) % p31).min(axis=1)]
+
         return texts.map(sig_of)
 
     return F.pandas_udf(T.ArrayType(T.LongType()))(batch)

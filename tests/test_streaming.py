@@ -161,3 +161,37 @@ def test_streaming_is_incremental(spark, sf_small, tmp_path):
     assert n1 == first.count()
     assert n2 == events.count()
     assert os.path.isdir(drop_dir)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once delivery: the same event_id arriving again in a later
+    micro-batch (within the watermark) must be dropped; distinct events
+    survive. Stream result == batch dropDuplicates on the same rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import run_streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    ckpt = str(tmp_path / "dup_ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+
+    mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")]).coalesce(1).write.parquet(src)
+    q = run_streaming_dedup(spark, src, ckpt, query_name="dedup_out_t")
+    try:
+        q.processAllAvailable()
+        # redelivery of event 1 + one new event, same watermark window
+        mk([(1, "2024-01-01 10:00:00"), (3, "2024-01-01 10:10:00")]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.event_id for r in spark.table("dedup_out_t").collect())
+    assert got == [1, 2, 3], f"streaming dedup wrong: {got}"

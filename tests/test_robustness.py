@@ -74,3 +74,73 @@ def test_corrupt_parquet_fails_loudly(spark, tmp_path):
     p.write_bytes(b"this is not parquet at all")
     with pytest.raises(Exception):
         spark.read.parquet(str(p)).collect()
+
+
+def test_connected_components_no_edges(spark):
+    """Every node is its own singleton cluster when the edge set is empty."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    out = {r.doc_id: r.cluster for r in connected_components(ids, edges).collect()}
+    assert out == {i: i for i in range(5)}
+
+
+def test_jaccard_single_doc_and_empty_text(spark):
+    """One-doc corpora produce no pairs; empty-ish texts don't crash either
+    plan (the vocab probe sees <= 64 tokens -> bitset path)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    one = spark.createDataFrame([(1, "only doc")], "doc_id long, text string")
+    assert token_jaccard_pairs(one, threshold=0.5).count() == 0
+    weird = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a")], "doc_id long, text string"
+    )
+    rows = {(r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in token_jaccard_pairs(weird, threshold=0.5).collect()}
+    assert rows == {(1, 2): 1.0}  # two empty texts: identical single-"" token sets
+
+
+def test_jaccard_prefix_plan_on_large_vocab(spark):
+    """> 64 distinct tokens forces the prefix-filter plan; results must
+    match a brute-force python check."""
+    import itertools
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "w1 w2 w3 w4 w5 w6"),
+        (2, "w1 w2 w3 w4 w5 w99"),   # jaccard 5/7 with doc 1
+        (3, " ".join(f"u{i}" for i in range(70))),  # blows the 64 vocab cap
+        (4, "totally disjoint tokens here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id_a, r.doc_id_b): round(r.jaccard, 6)
+           for r in token_jaccard_pairs(df, threshold=0.5).collect()}
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+    assert got == want and (1, 2) in got
+
+
+def test_compact_parquet_roundtrip_empty_subdirless(spark, tmp_path):
+    """Compacting a single-file dataset is a no-op-sized rewrite that still
+    round-trips rows."""
+    from data_engineering_zoomcamp_my_test_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "tiny")
+    spark.range(10).coalesce(1).write.parquet(path)
+    n = compact_parquet(spark, path)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 10

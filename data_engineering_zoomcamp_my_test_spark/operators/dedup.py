@@ -441,7 +441,11 @@ def _simhash_band_pairs(
     )
 
 
-_CC_SMALL_GRAPH_NODES = 10_000_000
+# Small-graph mode broadcasts the label map every round: 1M nodes of
+# (long, long) is ~16 MB serialized — comfortably under the 8 GB broadcast
+# ceiling and cheap to rebuild per round. Above this, broadcasting each
+# round costs more than the shuffle it saves.
+_CC_SMALL_GRAPH_NODES = 1_000_000
 
 
 def connected_components(

@@ -171,8 +171,45 @@ def c20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_mix(
+    docs: DataFrame, budget_tokens: int, group_col: str = "source"
+) -> DataFrame:
+    """Corpus mixing: cap every group (source/domain) at a token budget —
+    the data-blending step that turns raw corpora into a training mix with
+    controlled per-domain proportions. Documents are admitted in
+    content-hash order (md5 of text, doc_id tiebreak): deterministic on any
+    cluster layout, unbiased w.r.t. document position in the source, and
+    reproducible run-to-run — the distributed analogue of 'shuffle then
+    take the first N tokens'. One window cumsum per group; no collect."""
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            group_col,
+            ntok.alias("n_tok"),
+            F.sum(ntok.cast("long")).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", group_col, "n_tok", "cum_tokens")
+    )
+
+
+def c49_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """500 tokens per source — a fixed-budget training blend."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mix(docs, budget_tokens=500)
+
+
 QUERIES = {
     "c5_text_stats": c5_text_stats,
+    "c49_token_budget_mix": c49_token_budget_mix,
     "c14_token_count": c14_token_count,
     "c15_langid": c15_langid,
     "c16_quality": c16_quality,
@@ -187,6 +224,24 @@ _NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
 _HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
 
 ORACLE = {
+    "c49_token_budget_mix": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                 md5(text) AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(CAST(n_tok AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, source, n_tok, cum_tokens
+        FROM c WHERE cum_tokens <= 500
+    """,
     "c5_text_stats": """
         SELECT lang, source, COUNT(*) AS n_docs,
                SUM(n_chars) AS total_chars,

@@ -207,9 +207,47 @@ def c49_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(docs, budget_tokens=500)
 
 
+def pack_sequences(
+    docs: DataFrame, seq_len: int, group_col: str = "source"
+) -> DataFrame:
+    """Pack documents into fixed-token training sequences: each doc gets a
+    (sequence id, offset) inside its group, by cumulative token count over
+    the deterministic content-hash order — the distributed form of
+    'concatenate shuffled docs and cut every ``seq_len`` tokens' that LLM
+    pre-training data loaders perform. seq = floor(start/seq_len) where
+    start is the cumsum of preceding docs' tokens; docs that straddle a
+    boundary belong to the sequence they start in (reader-side continuation
+    is an IO concern, not a planning one). One window per group, no
+    collect, no Python."""
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(ntok.cast("long")).over(w)
+    start = cum - ntok
+    return docs.select(
+        "doc_id",
+        group_col,
+        ntok.alias("n_tok"),
+        F.floor(start / seq_len).cast("long").alias("seq_id"),
+        (start % seq_len).cast("long").alias("seq_offset"),
+    )
+
+
+def c50_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-token sequences per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=128)
+
+
 QUERIES = {
     "c5_text_stats": c5_text_stats,
     "c49_token_budget_mix": c49_token_budget_mix,
+    "c50_pack_sequences": c50_pack_sequences,
     "c14_token_count": c14_token_count,
     "c15_langid": c15_langid,
     "c16_quality": c16_quality,
@@ -224,6 +262,26 @@ _NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
 _HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
 
 ORACLE = {
+    "c50_pack_sequences": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                 md5(text) AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(CAST(n_tok AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tok AS start
+          FROM t
+        )
+        SELECT doc_id, source, n_tok,
+               CAST(floor(CAST(start AS DOUBLE) / 128) AS BIGINT) AS seq_id,
+               CAST(start % 128 AS BIGINT) AS seq_offset
+        FROM c
+    """,
     "c49_token_budget_mix": """
         WITH t AS (
           SELECT doc_id, source,

@@ -113,6 +113,63 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+DIMS_SCHEMA = "media_id bigint, format string, px_width int, px_height int"
+
+
+def probe_image_dims(media: DataFrame) -> DataFrame:
+    """REAL (non-stubbed) image metadata extraction: container format and
+    pixel dimensions parsed from the binary payload's header bytes — PNG
+    IHDR, GIF logical screen descriptor, BMP info header, and a JPEG
+    marker walk to SOF0/1/2 — all pure stdlib ``struct``, so this one runs
+    for real in this environment (unlike pixel decode, which needs media
+    libs and stays stubbed in ``extract_features``). Arrow-batched; only
+    header bytes are inspected, payloads never leave the executor."""
+
+    def parse_dims(raw: bytes):
+        import struct
+
+        if raw is None or len(raw) < 10:
+            return None, None, None
+        if raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 24:
+            w, h = struct.unpack(">II", raw[16:24])
+            return "png", w, h
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", raw[6:10])
+            return "gif", w, h
+        if raw[:2] == b"BM" and len(raw) >= 26:
+            w, h = struct.unpack("<ii", raw[18:26])
+            return "bmp", w, abs(h)
+        if raw[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+            i = 2
+            while i + 9 < len(raw) and raw[i] == 0xFF:
+                marker, seglen = raw[i + 1], struct.unpack(">H", raw[i + 2 : i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+                    return "jpeg", w, h
+                i += 2 + seglen
+            return "jpeg", None, None
+        return None, None, None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                f, w, h = parse_dims(bytes(payload) if payload is not None else None)
+                fmts.append(f)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pd.Series(fmts, dtype=object),
+                    "px_width": pd.Series(ws, dtype="Int32"),
+                    "px_height": pd.Series(hs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=DIMS_SCHEMA)
+
+
 def filter_by_metadata(
     media: DataFrame,
     kinds: list[str] | None = None,

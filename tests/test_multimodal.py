@@ -62,3 +62,32 @@ def test_frame_sampling_fans_out(spark, media_df):
 def test_real_decode_is_explicit_stub(spark, media_df):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media_df, decode_stub=False).collect()
+
+
+def test_probe_image_dims_real_headers(spark):
+    """Dimension probing is REAL parsing: construct genuine PNG/GIF/BMP/JPEG
+    header bytes and require exact (format, width, height)."""
+    import struct
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        probe_image_dims,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 7
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 128, -256) + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9   # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9
+    )
+    junk = b"not an image at all, just bytes"
+    rows = [(1, "image", png), (2, "image", gif), (3, "image", bmp), (4, "image", jpeg), (5, "blob", junk)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: (r.format, r.px_width, r.px_height)
+           for r in probe_image_dims(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 128, 256)
+    assert got[4] == ("jpeg", 1920, 1080)
+    assert got[5] == (None, None, None)

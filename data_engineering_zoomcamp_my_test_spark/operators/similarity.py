@@ -303,9 +303,9 @@ def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_blocked_neardup(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    bucket_length: float = 0.1,
-    num_tables: int = 8,
-    rows_per_table: int = 2,
+    bucket_length: float = 0.15,
+    num_tables: int = 10,
+    rows_per_table: int = 3,
 ) -> DataFrame:
     """Embedding near-dup pairs with **composite-key LSH buckets as the
     blocking key** — the 100 TB form of ``c18_embed_neardup``: instead of a

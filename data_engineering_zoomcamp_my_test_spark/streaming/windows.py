@@ -238,3 +238,105 @@ def run_streaming_dedup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def batch_view_purchase_attribution(
+    events: DataFrame, attribution_window: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of the stream-stream interval join: each purchase joins
+    the views by the same user in the preceding attribution window."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {attribution_window}"
+        ),
+    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
+
+
+def run_streaming_attribution_join(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    query_name: str = "attrib_out",
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Stream-stream interval join — purchase events attributed to the
+    user's views within the preceding window. Both sides carry watermarks
+    and the join condition is time-bounded, so Spark can expire join state
+    (unbounded state is the stream-stream join failure mode). Same
+    builder-sharing pattern as the windowed aggs: the batch twin above
+    replays to identical rows (parity test)."""
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(source_path)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {attribution_window}"
+        ),
+    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_streaming_upsert_sink(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    table: str,
+    key: str = "event_id",
+):
+    """Streaming MERGE: every micro-batch upserts into a managed table via
+    the crash-safe staged-swap writer (sinks.upsert_table) — the
+    foreachBatch pattern that stands in for Delta's streaming MERGE INTO.
+    Batches are deduped on the key before merging so a replayed epoch is
+    idempotent."""
+    from ..sinks import upsert_table
+
+    def merge_batch(df: DataFrame, epoch_id: int) -> None:
+        batch = df.dropDuplicates([key])
+        if not spark.catalog.tableExists(table):
+            batch.write.mode("overwrite").saveAsTable(table)
+        else:
+            upsert_table(spark, table, batch, key)
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(source_path)
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -195,3 +195,91 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.table("dedup_out_t").collect())
     assert got == [1, 2, 3], f"streaming dedup wrong: {got}"
+
+
+def test_stream_stream_attribution_join_parity(spark, tmp_path):
+    """Stream-stream interval join replays to the batch twin's rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        batch_view_purchase_attribution,
+        run_streaming_attribution_join,
+    )
+
+    src = str(tmp_path / "attr_src")
+    ckpt = str(tmp_path / "attr_ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, ts, uid, et in rows],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:10:00", 1, "purchase"),   # attributed to view 1
+        (3, "2024-01-01 10:00:00", 2, "view"),
+    ]
+    rows2 = [
+        (4, "2024-01-01 11:00:00", 2, "purchase"),   # > 30 min after view 3: NOT attributed
+        (5, "2024-01-01 11:05:00", 1, "view"),
+        (6, "2024-01-01 11:20:00", 1, "purchase"),   # attributed to view 5
+        (7, "2024-01-01 14:00:00", 9, "view"),       # advances both watermarks
+    ]
+    mk(rows1).coalesce(1).write.parquet(src)
+    q = run_streaming_attribution_join(spark, src, ckpt, query_name="attrib_t")
+    try:
+        q.processAllAvailable()
+        mk(rows2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream_rows = {
+        (r.p_user, r.purchase_id, r.view_id)
+        for r in spark.table("attrib_t").collect()
+    }
+    batch_rows = {
+        (r.p_user, r.purchase_id, r.view_id)
+        for r in batch_view_purchase_attribution(mk(rows1 + rows2)).collect()
+    }
+    assert stream_rows == batch_rows == {(1, 2, 1), (1, 6, 5)}
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """foreachBatch MERGE: later batches update matching keys in the managed
+    table; replays are idempotent on the key."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_upsert_sink,
+    )
+
+    src = str(tmp_path / "ups_src")
+    ckpt = str(tmp_path / "ups_ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, "2024-01-01 10:00:00", 1, et, v, "{}") for i, et, v in rows],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+
+    mk([(1, "view", 1.0), (2, "view", 2.0)]).coalesce(1).write.parquet(src)
+    q = run_streaming_upsert_sink(spark, src, ckpt, table="t_stream_upsert")
+    try:
+        q.processAllAvailable()
+        # key 2 updated, key 3 new
+        mk([(2, "purchase", 20.0), (3, "view", 3.0)]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        got = {r.event_id: (r.event_type, r.value)
+               for r in spark.table("t_stream_upsert").collect()}
+        spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
+    assert got == {1: ("view", 1.0), 2: ("purchase", 20.0), 3: ("view", 3.0)}

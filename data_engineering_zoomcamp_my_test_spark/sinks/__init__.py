@@ -7,6 +7,7 @@ from .writers import (
     upsert_table,
     write_csv,
     write_jdbc,
+    write_orc,
     write_parquet,
     write_warehouse_table,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "upsert_table",
     "write_csv",
     "write_jdbc",
+    "write_orc",
     "write_parquet",
     "write_warehouse_table",
 ]

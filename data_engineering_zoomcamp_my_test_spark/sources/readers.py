@@ -55,6 +55,12 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (both formats are first-class in Spark's vectorized reader)."""
+    return spark.read.orc(path)
+
+
 def fetch_to_local(url: str, dest_dir: str = "/tmp/spark_graft_fetch") -> str:
     """Download ``url`` to a local file and return the path (A3 semantics).
 
@@ -94,4 +100,6 @@ def read_source(
         return read_csv(spark, path, schema=schema)
     if lower.endswith((".json", ".json.gz", ".jsonl", ".ndjson")):
         return read_json(spark, path, schema=schema)
+    if lower.endswith(".orc"):
+        return read_orc(spark, path)
     raise ValueError(f"unsupported source format: {path}")

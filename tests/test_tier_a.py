@@ -173,3 +173,19 @@ def test_full_reference_pipeline_shape(spark, csv_fixture, tmp_path):
     assert back.count() == 2
     assert back.columns == ["Div", "Date", "HomeTeam", "AwayTeam", "FTHG", "transformation"]
     spark.sql("DROP TABLE football")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    """ORC write -> read_source dispatch -> filter pushdown reaches the ORC
+    scan, rows round-trip exactly."""
+    from data_engineering_zoomcamp_my_test_spark.plans.sql import explain_str
+    from data_engineering_zoomcamp_my_test_spark.sinks import write_orc
+    from data_engineering_zoomcamp_my_test_spark.sources import read_source
+
+    src = spark.read.parquet(f"{sf_small}/nation.parquet")
+    out = str(tmp_path / "nation.orc")
+    write_orc(src, out)
+    back = read_source(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = explain_str(back.filter("n_regionkey = 1"), "formatted")
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1].split("\n")[0]

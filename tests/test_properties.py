@@ -155,3 +155,84 @@ def test_lsh_blocked_neardup_planted_recall(spark, sf_small):
     assert got <= {(r.vec_id, r.vec_id + 100_000) for r in rows[:50]}, (
         "false near-dup pairs reported"
     )
+
+
+def test_jaccard_plans_match_bruteforce_random_corpora(spark):
+    """Property: token_jaccard_pairs (whichever plan the vocab probe picks)
+    equals the quadratic python reference on random corpora."""
+    import itertools
+
+    rng = random.Random(23)
+    for trial in range(3):
+        vocab_size = rng.choice([8, 30, 80])  # straddles the 64-token cutoff
+        vocab = [f"t{j}" for j in range(vocab_size)]
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+            token_jaccard_pairs,
+        )
+
+        got = {
+            (r.doc_id_a, r.doc_id_b): round(r.jaccard, 9)
+            for r in token_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        sets = {i: set(t.split()) for i, t in docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    want[(a, b)] = round(j, 9)
+        assert got == want, f"trial {trial} vocab={vocab_size}"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: distributed min-label CC equals a python union-find on
+    random graphs (including multi-component and chain shapes)."""
+    rng = random.Random(31)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.04
+        ]
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "doc_id_a long, doc_id_b long"
+        )
+        from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+            connected_components,
+        )
+
+        got = {
+            r.doc_id: r.cluster
+            for r in connected_components(ids, edf, max_iter=40).collect()
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        comp_min = {}
+        for i in range(n):
+            r = find(i)
+            comp_min.setdefault(r, []).append(i)
+        for r, members in comp_min.items():
+            m = min(members)
+            for i in members:
+                want[i] = m
+        assert got == want, f"trial {trial}"

@@ -257,6 +257,24 @@ def b42_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): a custom lattice of
+    aggregation levels in one pass, with grouping() flags disambiguating
+    real NULLs from subtotal rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
 def c42_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample correlation & covariance per group (rounded — engines
     accumulate moments differently at the last ulp)."""
@@ -360,6 +378,7 @@ QUERIES = {
     "c40_topk_agg": c40_topk_agg,
     "c41_weighted_avg": c41_weighted_avg,
     "b42_filter_agg": b42_filter_agg,
+    "b43_grouping_sets": b43_grouping_sets,
     "c42_corr": c42_corr,
 }
 
@@ -486,6 +505,15 @@ ORACLE = {
                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_weighted_disc,
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "b43_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
     """,
     "b42_filter_agg": """
         SELECT o_orderstatus,

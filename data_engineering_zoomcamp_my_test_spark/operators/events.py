@@ -127,6 +127,19 @@ def c44_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c51_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced JSON parsing (vs c10's path extraction): from_json
+    projects the props string through a declared struct schema — malformed
+    documents become NULL structs instead of poisoning the pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.isNotNull().alias("valid_json"),
+    )
+
+
 def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -177,6 +190,7 @@ QUERIES = {
     "c8_sliding": c8_sliding,
     "c9_session": c9_session,
     "c10_json_extract": c10_json_extract,
+    "c51_from_json": c51_from_json,
     "c21_json_agg": c21_json_agg,
     "c22_hourly_top_event": c22_hourly_top_event,
     "c44_session_funnel": c44_session_funnel,
@@ -253,6 +267,12 @@ ORACLE = {
                CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_converted
         FROM sessions GROUP BY user_id
+    """,
+    "c51_from_json": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_valid(props) AS valid_json
+        FROM events
     """,
     "c10_json_extract": """
         SELECT event_id, event_type,

@@ -156,3 +156,17 @@ def test_decontaminate_broadcasts_heldout_side(spark, sf_small):
     plan = explain_str(df, "simple")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_metrics_observability(spark, sf_small):
+    """run_with_metrics reads real execution metrics: a pure projection
+    shuffles zero bytes; a group-by shuffles a bounded, nonzero amount."""
+    from data_engineering_zoomcamp_my_test_spark.plans.metrics import (
+        run_with_metrics,
+        shuffle_bytes,
+    )
+
+    assert shuffle_bytes(all_queries()["c47_hash_split"](spark, sf_small)) == 0
+    m = run_with_metrics(all_queries()["b3_groupby_agg"](spark, sf_small))
+    assert m.get("number of output rows", 0) > 0
+    assert 0 < m.get("shuffle bytes written", 0) < 50_000  # partial-agg keeps it tiny

@@ -4,12 +4,16 @@ initial-state handling. Implements the same per-user running ledger as
 stateful.py's ``applyInPandasWithState`` variant, so the two state APIs are
 cross-checked against each other and against the batch aggregate.
 
-KNOWN GATE: on this build the TransformWithStateInPySpark driver worker
-subprocess crashes at query start even with the RocksDB state store
-provider configured (the API itself resolves fine). The parity test skips
-with the captured error when that happens; ``streaming/stateful.py``
-(applyInPandasWithState) is the supported stateful path in this
-environment and covers the same semantics.
+KNOWN GATE — root cause isolated (round 2): the TransformWithStateInPySpark
+driver worker crashes at query start with ``ImportError: cannot import name
+'descriptor' from 'google.protobuf'`` (captured via INFO-level
+StreamingPythonRunner logs): the TWS state-server protocol is
+protobuf-based and ``google.protobuf`` is not installed in this
+environment (package installation is out of scope here). The API and
+processor code are correct — on any cluster with protobuf present this
+module runs as-is. The parity test skips with the captured error;
+``streaming/stateful.py`` (applyInPandasWithState) is the supported
+stateful path in this environment and covers the same semantics.
 """
 
 from __future__ import annotations

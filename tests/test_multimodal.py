@@ -91,3 +91,27 @@ def test_probe_image_dims_real_headers(spark):
     assert got[3] == ("bmp", 128, 256)
     assert got[4] == ("jpeg", 1920, 1080)
     assert got[5] == (None, None, None)
+
+
+def test_pcm16_stats_known_waveform(spark):
+    """Real PCM math: a constant-amplitude square wave has rms == peak ==
+    amplitude; a silent buffer is all zeros; odd trailing byte is ignored."""
+    import struct
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        pcm16_stats,
+    )
+
+    square = struct.pack("<8h", *([1000, -1000] * 4))       # 8 samples @ +-1000
+    silence = struct.pack("<4h", 0, 0, 0, 0)
+    ragged = struct.pack("<2h", 500, -500) + b"\x01"          # odd byte dropped
+    df = spark.createDataFrame(
+        [(1, "audio", square), (2, "audio", silence), (3, "audio", ragged)],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in pcm16_stats(df, sample_rate_hz=8000).collect()}
+    assert got[1].n_samples == 8 and got[1].peak == 1000
+    assert abs(got[1].rms - 1000.0) < 1e-9
+    assert abs(got[1].duration_ms - 1.0) < 1e-9
+    assert got[2].rms == 0.0 and got[2].peak == 0
+    assert got[3].n_samples == 2 and got[3].peak == 500

@@ -257,6 +257,18 @@ def b42_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c52_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew machinery in the verified path: two-phase salted
+    aggregation (operators/skew.py) over the low-cardinality, hot
+    ``event_type`` key — phase 1 shuffles on (key, salt) so a 90%-hot key
+    spreads over 16 reducers; phase 2 merges tiny partials. The oracle is
+    the plain GROUP BY: salting must be a pure physical rewrite."""
+    from .skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(ev, "event_type", money("value"), n_salts=16)
+
+
 def b43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond ROLLUP/CUBE): a custom lattice of
     aggregation levels in one pass, with grouping() flags disambiguating
@@ -379,6 +391,7 @@ QUERIES = {
     "c41_weighted_avg": c41_weighted_avg,
     "b42_filter_agg": b42_filter_agg,
     "b43_grouping_sets": b43_grouping_sets,
+    "c52_salted_hot_agg": c52_salted_hot_agg,
     "c42_corr": c42_corr,
 }
 
@@ -505,6 +518,11 @@ ORACLE = {
                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_weighted_disc,
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "c52_salted_hot_agg": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type
     """,
     "b43_grouping_sets": """
         SELECT l_returnflag, l_linestatus,

@@ -180,14 +180,16 @@ def top_k_per_group_agg(
     n_salt: int = 16,
 ) -> DataFrame:
     """Top-k per group WITHOUT a window sort, as a salted two-phase
-    aggregation. Stage 1 groups by (group, salt) and truncates each salted
-    bucket to its k best — so per-reducer state is bounded at k structs and
-    a hot group's rows spread across ``n_salt`` reducers instead of melting
-    one. Stage 2 merges at most ``n_salt * k`` survivors per group and
-    re-truncates. Every input row is still shuffled once (any exact top-k
-    must route each row to a reducer), but unlike ``row_number() OVER`` no
-    per-partition full sort ever runs and no reducer ever holds a whole hot
-    group. Descending order via exact negation of the 2-decimal order key;
+    aggregation. Stage 1 groups by (group, salt): a hot group's rows spread
+    across ``n_salt`` reducers, so per-reducer aggregation state is
+    O(group size / n_salt) — collect_list buffers a full salted bucket
+    before the slice truncates it, so state is divided by the salt count,
+    not bounded at k (a k-bounded accumulator needs a custom UDAF). Stage 2
+    merges at most ``n_salt * k`` survivors per group and re-truncates.
+    Every input row is still shuffled once (any exact top-k must route each
+    row to a reducer), but unlike ``row_number() OVER`` no per-partition
+    full sort ever runs and no single reducer ever holds a whole hot group.
+    Descending order via exact negation of the 2-decimal order key;
     (order, tiebreak) makes the result deterministic."""
     item = F.struct(
         (-money(order_col)).alias("_neg"),

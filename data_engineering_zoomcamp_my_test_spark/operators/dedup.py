@@ -220,7 +220,17 @@ def token_jaccard_pairs(
         *blk,
         F.array_distinct(F.split("text", " ")).alias("toks"),
     ).withColumn("n_tok", F.size("toks"))
-    # bounded plan-selection probe: at most 65 rows ever reach the driver
+    # Two-step plan probe, cheap in the big-corpus case: first scan a
+    # bounded document sample — if IT already exceeds 64 distinct tokens,
+    # the prefix plan is forced with no full-corpus work. Only a sample
+    # that stays small (enum-like vocabularies) pays the full distinct,
+    # which the bitset plan needs anyway: its mask is only correct with
+    # the COMPLETE vocabulary, so sampling alone can never select it.
+    sample_vocab = (
+        base.limit(2048).select(F.explode("toks").alias("tok")).distinct().take(65)
+    )
+    if len(sample_vocab) > 64:
+        return _jaccard_pairs_prefix(base, threshold, block_col)
     vocab = [
         r[0] for r in base.select(F.explode("toks").alias("tok")).distinct().take(65)
     ]
@@ -501,12 +511,17 @@ def connected_components(
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled", "true"),
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions", "200"),
     }
-    if small:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        labels = labels.repartition(1)
-    labels = labels.localCheckpoint()
+    # conf mutation and all actions happen inside try so any failure —
+    # including the initial checkpoint — restores the session settings.
+    # NOTE: session confs are session-global; the loop assumes no other
+    # query is planned on this session concurrently (the engine's driver
+    # contract runs queries sequentially).
     try:
+        if small:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            labels = labels.repartition(1)
+        labels = labels.localCheckpoint()
         prev_sum = None
         for _ in range(max_iter):
             lab = F.broadcast(labels) if small else labels

@@ -129,14 +129,24 @@ def c44_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def c51_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-enforced JSON parsing (vs c10's path extraction): from_json
-    projects the props string through a declared struct schema — malformed
-    documents become NULL structs instead of poisoning the pipeline."""
+    projects the props string through a declared struct schema. Validity is
+    detected via the corrupt-record column — PERMISSIVE mode returns a
+    non-null struct even for garbage like ``{bad``, so ``isNotNull()`` on
+    the struct would miss malformed documents (it only catches empty/null
+    input); the corrupt-record field is the real malformed-JSON signal and
+    matches the oracle's ``json_valid``."""
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k bigint")
+    parsed = F.from_json(
+        "props",
+        "k bigint, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
     return ev.select(
         "event_id",
         parsed.getField("k").alias("k_val"),
-        parsed.isNotNull().alias("valid_json"),
+        (parsed.isNotNull() & parsed.getField("_corrupt").isNull()).alias(
+            "valid_json"
+        ),
     )
 
 

@@ -141,11 +141,25 @@ def probe_image_dims(media: DataFrame) -> DataFrame:
             return "bmp", w, abs(h)
         if raw[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
             i = 2
-            while i + 9 < len(raw) and raw[i] == 0xFF:
-                marker, seglen = raw[i + 1], struct.unpack(">H", raw[i + 2 : i + 4])[0]
+            while i + 1 < len(raw) and raw[i] == 0xFF:
+                # spec-legal 0xFF fill bytes may pad before any marker id
+                while i + 1 < len(raw) and raw[i + 1] == 0xFF:
+                    i += 1
+                marker = raw[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2):
-                    h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
-                    return "jpeg", w, h
+                    if i + 9 < len(raw):
+                        h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+                        return "jpeg", w, h
+                    break
+                # standalone markers carry no length field
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    i += 2
+                    continue
+                if i + 4 > len(raw):
+                    break
+                seglen = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+                if seglen < 2:
+                    break
                 i += 2 + seglen
             return "jpeg", None, None
         return None, None, None

@@ -171,6 +171,22 @@ def c20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_order_cumsum(group_col: str):
+    """(ntok, cum_tokens) over the deterministic content-hash admission
+    order — md5(text) with doc_id tiebreak, cumulative per group. This
+    ordering is a parity contract shared by ``token_budget_mix`` and
+    ``pack_sequences`` and must match their DuckDB oracles exactly."""
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ntok, F.sum(ntok.cast("long")).over(w)
+
+
 def token_budget_mix(
     docs: DataFrame, budget_tokens: int, group_col: str = "source"
 ) -> DataFrame:
@@ -181,20 +197,13 @@ def token_budget_mix(
     cluster layout, unbiased w.r.t. document position in the source, and
     reproducible run-to-run — the distributed analogue of 'shuffle then
     take the first N tokens'. One window cumsum per group; no collect."""
-    from pyspark.sql.window import Window
-
-    ntok = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.md5("text"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    ntok, cum = _hash_order_cumsum(group_col)
     return (
         docs.select(
             "doc_id",
             group_col,
             ntok.alias("n_tok"),
-            F.sum(ntok.cast("long")).over(w).alias("cum_tokens"),
+            cum.alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", group_col, "n_tok", "cum_tokens")
@@ -219,15 +228,7 @@ def pack_sequences(
     boundary belong to the sequence they start in (reader-side continuation
     is an IO concern, not a planning one). One window per group, no
     collect, no Python."""
-    from pyspark.sql.window import Window
-
-    ntok = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.md5("text"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(ntok.cast("long")).over(w)
+    ntok, cum = _hash_order_cumsum(group_col)
     start = cum - ntok
     return docs.select(
         "doc_id",

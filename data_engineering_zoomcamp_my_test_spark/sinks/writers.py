@@ -137,13 +137,34 @@ def publish_to_object_store(df: DataFrame, uri: str, fmt: str = "parquet") -> No
         raise ValueError(f"unsupported object-store format: {fmt}")
 
 
+def recover_table_swap(spark: SparkSession, table: str) -> bool:
+    """Recover from a swap interrupted between the two renames: if the base
+    name is missing but a ``__old`` (pre-swap) or ``__staging`` (new,
+    complete) generation survives, reinstate one — old wins (the swap had
+    not committed). Returns True if a recovery happened. Callers that
+    create-if-absent MUST call this before concluding a table is missing,
+    or they will shadow the surviving generation."""
+    if spark.catalog.tableExists(table):
+        return False
+    staging, old = f"{table}__staging", f"{table}__old"
+    for source in (old, staging):
+        if spark.catalog.tableExists(source):
+            spark.sql(f"ALTER TABLE {source} RENAME TO {table}")
+            return True
+    return False
+
+
 def _staged_table_swap(spark: SparkSession, table: str, merged: DataFrame) -> None:
     """Crash-safe replacement of a managed table's contents: the merged
     result is made durable in a staging table FIRST, then swapped in with
     metastore renames, and the old generation is dropped LAST. A crash at
-    any step leaves either the intact base (+ a reusable staging table) or
-    both generations — never zero copies, unlike a read + in-place
-    ``overwrite`` (which drops the base before rewriting it)."""
+    any step leaves a surviving generation (base, ``__old``, or
+    ``__staging``) — never zero copies, unlike a read + in-place
+    ``overwrite`` (which drops the base before rewriting it). Leftovers are
+    only dropped while the base table exists; if a previous swap died
+    between its renames, ``recover_table_swap`` reinstates the survivor
+    first instead of deleting it."""
+    recover_table_swap(spark, table)
     staging, old = f"{table}__staging", f"{table}__old"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
@@ -206,7 +227,17 @@ def compact_parquet(
     jvm = spark._jvm
     staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
-    # clear leftovers from a previously crashed run (idempotent re-entry)
+    # Re-entry after a crash, state-aware: if the dataset is MISSING from
+    # its path, a leftover IS the surviving copy — reinstate it (pre-swap
+    # generation wins; the swap had not committed), never delete it.
+    # Leftovers are only garbage once the dataset exists at its path.
+    if not fs.exists(target):
+        if fs.exists(old):
+            fs.rename(old, target)
+        elif fs.exists(staging):
+            fs.rename(staging, target)
+        else:
+            raise IOError(f"compact_parquet: no dataset at {path}")
     for leftover in (staging, old):
         if fs.exists(leftover):
             fs.delete(leftover, True)

@@ -326,9 +326,13 @@ def run_streaming_upsert_sink(
     Batches are deduped on the key before merging so a replayed epoch is
     idempotent."""
     from ..sinks import upsert_table
+    from ..sinks.writers import recover_table_swap
 
     def merge_batch(df: DataFrame, epoch_id: int) -> None:
         batch = df.dropDuplicates([key])
+        # a swap interrupted mid-rename leaves the base under __old/__staging;
+        # reinstate it rather than shadowing it with a fresh single-batch table
+        recover_table_swap(spark, table)
         if not spark.catalog.tableExists(table):
             batch.write.mode("overwrite").saveAsTable(table)
         else:

@@ -115,3 +115,21 @@ def test_pcm16_stats_known_waveform(spark):
     assert abs(got[1].duration_ms - 1.0) < 1e-9
     assert got[2].rms == 0.0 and got[2].peak == 0
     assert got[3].n_samples == 2 and got[3].peak == 500
+
+
+def test_jpeg_dims_with_fill_bytes(spark):
+    """Spec-legal 0xFF padding before markers must not desync the walk."""
+    import struct
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        probe_image_dims,
+    )
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"                                    # fill bytes
+        + b"\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 600, 800) + b"\x03" + b"\x00" * 9
+    )
+    df = spark.createDataFrame([(1, "image", jpeg)], "media_id long, kind string, payload binary")
+    r = probe_image_dims(df).collect()[0]
+    assert (r.format, r.px_width, r.px_height) == ("jpeg", 800, 600)

@@ -193,3 +193,27 @@ def test_simhash_near_pairs_rejects_bad_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         simhash_near_pairs(docs, max_hamming=10, n_bands=4)
+
+
+def test_from_json_validity_detects_malformed(spark):
+    """c51's validity flag must be False for syntactically broken JSON (a
+    bare isNotNull() on the PERMISSIVE struct would miss it)."""
+    from pyspark.sql import functions as F
+
+    parsed = F.from_json(
+        "props", "k bigint, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{bad"), (3, ""), (4, None)],
+        "event_id long, props string",
+    ).select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        (parsed.isNotNull() & parsed.getField("_corrupt").isNull()).alias("valid"),
+    )
+    got = {r.event_id: (r.k_val, r.valid) for r in df.collect()}
+    assert got[1] == (5, True)
+    assert got[2][1] is False
+    assert got[3][1] is False
+    assert got[4][1] is False

@@ -133,3 +133,48 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     # append arm doubles the rows
     assert write_jdbc(df, url, "t_jdbc", if_exists="append")
     assert spark.read.jdbc(url, "t_jdbc").count() == 6
+
+
+def test_compact_reinstates_survivor_after_mid_swap_crash(spark, sf_small, tmp_path):
+    """Crash between the two renames: dataset path missing, __precompact is
+    the only copy. Re-entry must RESTORE it, not delete it."""
+    import shutil
+
+    src = spark.read.parquet(f"{sf_small}/region.parquet")
+    path = str(tmp_path / "ds2")
+    src.coalesce(1).write.parquet(path)
+    n_rows = src.count()
+    # simulate: rename committed, swap-in never happened
+    shutil.move(path, path + "__precompact")
+    assert not os.path.exists(path)
+    compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + "__precompact")
+    assert not os.path.exists(path + "__compacting")
+
+
+def test_table_swap_recovery_restores_old_generation(spark):
+    """A swap that died between renames leaves only __old; the next upsert
+    (and recover_table_swap) must reinstate it rather than shadow it."""
+    from data_engineering_zoomcamp_my_test_spark.sinks import upsert_table
+    from data_engineering_zoomcamp_my_test_spark.sinks.writers import (
+        recover_table_swap,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    base.write.mode("overwrite").saveAsTable("t_swaprec__old")  # crashed state
+    try:
+        assert recover_table_swap(spark, "t_swaprec")
+        got = {r.id: r.v for r in spark.table("t_swaprec").collect()}
+        assert got == {1: "a", 2: "b"}
+        # and a subsequent upsert merges against the recovered base
+        upsert_table(
+            spark,
+            "t_swaprec",
+            spark.createDataFrame([(3, "c")], "id long, v string"),
+            "id",
+        )
+        assert spark.table("t_swaprec").count() == 3
+    finally:
+        for t in ("t_swaprec", "t_swaprec__old", "t_swaprec__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1,4 +1,5 @@
 from .writers import (
+    cdc_snapshot,
     compact_parquet,
     publish_to_object_store,
     save_table,
@@ -13,6 +14,7 @@ from .writers import (
 )
 
 __all__ = [
+    "cdc_snapshot",
     "compact_parquet",
     "publish_to_object_store",
     "save_table",

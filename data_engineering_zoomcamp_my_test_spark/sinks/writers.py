@@ -329,3 +329,29 @@ def write_warehouse_table(
         df = df_or_uri
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {warehouse_db}")
     return save_table(df, f"{warehouse_db}.{table}", if_exists=if_exists)
+
+
+def cdc_snapshot(
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Changelog compaction: reduce an insert/update/delete event log to
+    the current snapshot — the read side of CDC ingestion (what MERGE
+    applies incrementally, computed from scratch). Latest operation per key
+    by (seq, op) wins; a winning delete erases the key. One shuffle keyed
+    on the business key via max_by — no window sort."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in changes.columns if c not in (key, seq_col, op_col)]
+    latest = changes.groupBy(key).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in others]),
+            F.struct(F.col(seq_col), F.col(op_col)),
+        ).alias("_last")
+    )
+    return (
+        latest.filter(F.col("_last._op") != "D")
+        .select(key, *[F.col(f"_last.{c}").alias(c) for c in others])
+    )

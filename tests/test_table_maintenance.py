@@ -178,3 +178,24 @@ def test_table_swap_recovery_restores_old_generation(spark):
     finally:
         for t in ("t_swaprec", "t_swaprec__old", "t_swaprec__staging"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cdc_snapshot_compaction(spark):
+    """I/U/D changelog reduces to the live snapshot: updates win by seq,
+    deletes erase, re-inserts after delete resurrect."""
+    from data_engineering_zoomcamp_my_test_spark.sinks import cdc_snapshot
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "I", "a1"),
+            (1, 2, "U", "a2"),       # update wins
+            (2, 1, "I", "b1"),
+            (2, 2, "D", None),       # deleted
+            (3, 1, "I", "c1"),
+            (3, 2, "D", None),
+            (3, 3, "I", "c2"),       # resurrected
+        ],
+        "id long, seq long, op string, v string",
+    )
+    got = {r.id: r.v for r in cdc_snapshot(log, "id", "seq").collect()}
+    assert got == {1: "a2", 3: "c2"}

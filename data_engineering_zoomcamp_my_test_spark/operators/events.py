@@ -129,12 +129,14 @@ def c44_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def c51_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-enforced JSON parsing (vs c10's path extraction): from_json
-    projects the props string through a declared struct schema. Validity is
-    detected via the corrupt-record column — PERMISSIVE mode returns a
-    non-null struct even for garbage like ``{bad``, so ``isNotNull()`` on
-    the struct would miss malformed documents (it only catches empty/null
-    input); the corrupt-record field is the real malformed-JSON signal and
-    matches the oracle's ``json_valid``."""
+    projects the props string through a declared struct schema. ``parsed_ok``
+    means "parsed as the declared OBJECT schema" — detected via the
+    corrupt-record column, because PERMISSIVE mode returns a non-null
+    struct even for garbage like ``{bad`` (a bare ``isNotNull()`` misses
+    malformed documents). Valid-but-non-object JSON (arrays, scalars) is
+    parsed_ok = false by design: the contract is the schema, not mere
+    syntactic validity — the oracle mirrors exactly that with
+    ``json_valid AND json_type = 'OBJECT'``."""
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json(
         "props",
@@ -145,7 +147,7 @@ def c51_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed.getField("k").alias("k_val"),
         (parsed.isNotNull() & parsed.getField("_corrupt").isNull()).alias(
-            "valid_json"
+            "parsed_ok"
         ),
     )
 
@@ -281,7 +283,9 @@ ORACLE = {
     "c51_from_json": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-               json_valid(props) AS valid_json
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN json_type(props) = 'OBJECT' ELSE FALSE
+               END AS parsed_ok
         FROM events
     """,
     "c10_json_extract": """

@@ -145,9 +145,11 @@ def probe_image_dims(media: DataFrame) -> DataFrame:
                 # spec-legal 0xFF fill bytes may pad before any marker id
                 while i + 1 < len(raw) and raw[i + 1] == 0xFF:
                     i += 1
+                if i + 1 >= len(raw):  # buffer ended inside the padding
+                    break
                 marker = raw[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2):
-                    if i + 9 < len(raw):
+                    if i + 9 <= len(raw):
                         h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
                         return "jpeg", w, h
                     break
@@ -168,7 +170,12 @@ def probe_image_dims(media: DataFrame) -> DataFrame:
         for pdf in batches:
             fmts, ws, hs = [], [], []
             for payload in pdf["payload"]:
-                f, w, h = parse_dims(bytes(payload) if payload is not None else None)
+                # defense-in-depth: a malformed container must yield nulls,
+                # never fail the task
+                try:
+                    f, w, h = parse_dims(bytes(payload) if payload is not None else None)
+                except Exception:  # noqa: BLE001
+                    f, w, h = None, None, None
                 fmts.append(f)
                 ws.append(w)
                 hs.append(h)

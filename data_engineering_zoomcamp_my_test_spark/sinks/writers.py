@@ -188,6 +188,9 @@ def upsert_table(
     Durability: staged-write + rename swap (``_staged_table_swap``), so the
     base table is never the only copy mid-operation. At 100 TB the base is
     bucketed on the key so the anti-join is shuffle-free on the big side."""
+    # a previous swap may have died between its renames: reinstate the
+    # surviving generation BEFORE dereferencing the base table
+    recover_table_swap(spark, table)
     base = spark.table(table)
     keys = updates.select(key).distinct()
     survivors = base.join(keys, key, "left_anti")
@@ -233,9 +236,17 @@ def compact_parquet(
     # Leftovers are only garbage once the dataset exists at its path.
     if not fs.exists(target):
         if fs.exists(old):
-            fs.rename(old, target)
+            if not fs.rename(old, target):
+                raise IOError(
+                    f"compact_parquet: could not reinstate {old} to {path}; "
+                    "refusing to continue (it is the surviving copy)"
+                )
         elif fs.exists(staging):
-            fs.rename(staging, target)
+            if not fs.rename(staging, target):
+                raise IOError(
+                    f"compact_parquet: could not reinstate {staging} to {path}; "
+                    "refusing to continue (it is the surviving copy)"
+                )
         else:
             raise IOError(f"compact_parquet: no dataset at {path}")
     for leftover in (staging, old):
@@ -269,6 +280,7 @@ def scd2_apply(
     Emulated without a transactional format the same way MERGE is
     (see ``upsert_table``): one anti/semi join pass + union, landed via
     staged-write + rename swap (``_staged_table_swap``)."""
+    recover_table_swap(spark, history_table)
     base = spark.table(history_table)
     data_cols = [c for c in updates.columns]
     keys = updates.select(key).distinct()
@@ -345,6 +357,11 @@ def cdc_snapshot(
     from pyspark.sql import functions as F
 
     others = [c for c in changes.columns if c not in (key, seq_col, op_col)]
+    if "_op" in others:
+        raise ValueError(
+            "cdc_snapshot: changelog has a data column named '_op', which "
+            "collides with the internal op alias; rename it"
+        )
     latest = changes.groupBy(key).agg(
         F.max_by(
             F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in others]),

@@ -259,6 +259,36 @@ def b42_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c53_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of c24: percentile_approx builds mergeable
+    t-digest-style sketches in partial aggregation, so quantiles cost one
+    shuffle of fixed-size sketches instead of a global sort — rows-only
+    checked (sketch values are engine-specific); accuracy vs the exact
+    percentiles is bounded in tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def c54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
+    a fixed seed — the class-balancing primitive for training mixes. Seeded
+    and deterministic within Spark but engine-specific, so rows-only
+    checked; per-stratum rates are tolerance-bounded in
+    tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.1, "click": 0.5, "purchase": 1.0}
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 def c52_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew machinery in the verified path: two-phase salted
     aggregation (operators/skew.py) over the low-cardinality, hot
@@ -394,6 +424,8 @@ QUERIES = {
     "b42_filter_agg": b42_filter_agg,
     "b43_grouping_sets": b43_grouping_sets,
     "c52_salted_hot_agg": c52_salted_hot_agg,
+    "c53_approx_percentiles": c53_approx_percentiles,
+    "c54_stratified_sample": c54_stratified_sample,
     "c42_corr": c42_corr,
 }
 

@@ -236,3 +236,45 @@ def test_connected_components_matches_union_find(spark):
             for i in members:
                 want[i] = m
         assert got == want, f"trial {trial}"
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_small):
+    """c53's sketch quantiles must land within 5% relative error of the
+    exact per-group percentiles. (percentile_approx returns a nearest-rank
+    data value while the exact percentile interpolates, so on small strata
+    the gap is one inter-sample step, not a sketch error.)"""
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in all_queries()["c53_approx_percentiles"](spark, sf_small).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in all_queries()["c24_percentiles"](spark, sf_small).collect()
+    }
+    for et, (p50, p95) in exact.items():
+        a50, a95 = approx[et]
+        assert abs(a50 - p50) / max(abs(p50), 1e-9) < 0.05, (et, a50, p50)
+        assert abs(a95 - p95) / max(abs(p95), 1e-9) < 0.05, (et, a95, p95)
+
+
+def test_stratified_sample_rates_within_tolerance(spark, sf_small):
+    """c54's per-stratum sampling rates must track the requested fractions
+    (exact for fraction 1.0; +-40% relative for Bernoulli strata)."""
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r.event_type: r.n_sampled
+        for r in all_queries()["c54_stratified_sample"](spark, sf_small).collect()
+    }
+    assert sampled.get("purchase") == totals["purchase"]  # fraction 1.0 exact
+    for et, frac in (("view", 0.1), ("click", 0.5)):
+        rate = sampled.get(et, 0) / totals[et]
+        assert abs(rate - frac) / frac < 0.4, (et, rate)

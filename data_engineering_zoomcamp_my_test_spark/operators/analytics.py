@@ -259,6 +259,55 @@ def b42_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c55_asof_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-stream AS-OF join: each view gets the user's most recent
+    purchase at-or-before it. Spark lacks a native ASOF JOIN, so this is
+    the union-merge formulation — tag both streams, one total-ordered
+    window per user (purchases sort before views at equal timestamps, so
+    'at-or-before' is inclusive), last-non-null carries the purchase
+    forward. One shuffle on user; no range join, no driver work. The
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — two genuinely different
+    algorithms, hash-compared. Purchases are deduped to one per (user, ts)
+    first in both engines so tie behavior is engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", ts_us.alias("ts_us"))
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(0).alias("tag"),
+            "purchase_id",
+            F.lit(None).cast("long").alias("view_id"),
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("view_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "tag", "view_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = purchases.unionByName(views).select(
+        "view_id",
+        "user_id",
+        F.col("ts_us").alias("v_ts_us"),
+        F.last("purchase_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("p_ts_us"),
+        "tag",
+    )
+    return merged.filter(F.col("tag") == 1).drop("tag")
+
+
 def c53_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of c24: percentile_approx builds mergeable
     t-digest-style sketches in partial aggregation, so quantiles cost one
@@ -424,6 +473,7 @@ QUERIES = {
     "b42_filter_agg": b42_filter_agg,
     "b43_grouping_sets": b43_grouping_sets,
     "c52_salted_hot_agg": c52_salted_hot_agg,
+    "c55_asof_two_streams": c55_asof_two_streams,
     "c53_approx_percentiles": c53_approx_percentiles,
     "c54_stratified_sample": c54_stratified_sample,
     "c42_corr": c42_corr,
@@ -552,6 +602,19 @@ ORACLE = {
                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_weighted_disc,
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "c55_asof_two_streams": """
+        WITH purchases AS (
+          SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)
+        ),
+        views AS (
+          SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_ts_us
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT v.view_id, v.user_id, v.v_ts_us, p.purchase_id, p.p_ts_us
+        FROM views v ASOF LEFT JOIN purchases p
+          ON v.user_id = p.user_id AND v.v_ts_us >= p.p_ts_us
     """,
     "c52_salted_hot_agg": """
         SELECT event_type, COUNT(*) AS n,

@@ -170,3 +170,23 @@ def test_shuffle_metrics_observability(spark, sf_small):
     m = run_with_metrics(all_queries()["b3_groupby_agg"](spark, sf_small))
     assert m.get("number of output rows", 0) > 0
     assert 0 < m.get("shuffle bytes written", 0) < 50_000  # partial-agg keeps it tiny
+
+
+def test_driver_window_contains_all_mandated_decls():
+    """The external driver oracle-checks only the first ~50 entries of
+    queries(); every SURVEY §2-mandated decl must stay inside that window
+    (guards future additions against silently displacing them)."""
+    names = list(all_queries())[:50]
+    mandated = [
+        "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
+        *[f"b{i}_" for i in range(1, 29)],  # prefixes checked below
+        "c1_dedup_exact", "c2_dedup_norm", "c3_cosine_topk", "c4_lsh_knn",
+        "c5_text_stats", "c6_minhash", "c6_lsh_dup_pairs", "c7_tumbling",
+        "c8_sliding", "c9_session", "c9b_session_window", "c10_json_extract",
+        "c21_json_agg", "c13_knn_all",
+    ]
+    for m in mandated:
+        if m.endswith("_"):
+            assert any(n.startswith(m) for n in names), f"missing {m}* in window"
+        else:
+            assert m in names, f"{m} fell out of the driver's 50-query window"

@@ -484,23 +484,23 @@ _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 ORACLE = {
     "c32_profile": """
         SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
         UNION ALL
         SELECT 'o_custkey', COUNT(*),
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_custkey) FROM orders
         UNION ALL
         SELECT 'o_orderstatus', COUNT(*),
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_orderstatus) FROM orders
         UNION ALL
         SELECT 'o_totalprice', COUNT(*),
-               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_totalprice) FROM orders
         UNION ALL
         SELECT 'o_orderpriority', COUNT(*),
-               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_orderpriority) FROM orders
     """,
     "c23_asof_join": """

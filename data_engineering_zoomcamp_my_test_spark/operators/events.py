@@ -240,9 +240,9 @@ ORACLE = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
-          SELECT *, SUM(new_session) OVER (
+          SELECT *, CAST(SUM(new_session) OVER (
             PARTITION BY user_id ORDER BY ts_us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM flagged
         )
         SELECT user_id, session_seq,
@@ -295,7 +295,7 @@ ORACLE = {
     """,
     "c21_json_agg": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                  / COUNT(*) AS k_avg
         FROM events GROUP BY event_type ORDER BY event_type

@@ -292,10 +292,10 @@ ORACLE = {
         ),
         c AS (
           SELECT doc_id, source, n_tok,
-                 SUM(CAST(n_tok AS BIGINT)) OVER (
+                 CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
                    PARTITION BY source ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS cum_tokens
+                 ) AS BIGINT) AS cum_tokens
           FROM t
         )
         SELECT doc_id, source, n_tok, cum_tokens
@@ -303,7 +303,7 @@ ORACLE = {
     """,
     "c5_text_stats": """
         SELECT lang, source, COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
                CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
         FROM documents GROUP BY lang, source ORDER BY lang, source

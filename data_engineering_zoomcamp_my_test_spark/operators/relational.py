@@ -7,9 +7,13 @@ operator family is a first-class Spark plan built with the DataFrame API (or
 optimized by Catalyst.
 
 Scale notes baked into the shapes below:
-- joins put the bounded dimension on the broadcast side (``F.broadcast``)
-  where cardinality is structurally bounded (region/nation/supplier), and
-  leave fact-fact joins to AQE (sort-merge w/ skew splitting);
+- explicit ``F.broadcast`` hints are reserved for tables whose cardinality is
+  structurally FIXED (region=5, nation=25 — ``sources.tables.BROADCAST_DIMS``).
+  Tables that grow with scale factor (supplier, part, customer, ...) get no
+  hint: the size threshold + AQE broadcast them while they fit and demote to
+  shuffle joins when they don't — a forced hint cannot be demoted and turns
+  into a broadcast OOM at 100x. Fact-fact joins are left to AQE (sort-merge
+  w/ skew splitting);
 - aggregates rely on partial aggregation (map-side combine) — automatic for
   all ``groupBy().agg()`` plans;
 - monetary aggregates use exact DECIMAL accumulation (functions/exprs.py) so
@@ -137,8 +141,11 @@ def b7_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        # supplier grows with scale factor: no explicit broadcast hint (an
+        # explicit hint cannot be demoted and becomes an OOM at 100x) — the
+        # size-based threshold + AQE pick broadcast while it actually fits.
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -195,8 +202,10 @@ def b10_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     return (
+        # part grows with scale factor: rely on AQE/size threshold, not a
+        # forced hint (see b7 note).
         li.join(
-            F.broadcast(part),
+            part,
             (F.col("l_partkey") == F.col("p_partkey"))
             & (F.col("l_quantity") >= F.col("p_size") - 5)
             & (F.col("l_quantity") <= F.col("p_size") + 5),

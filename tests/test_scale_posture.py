@@ -33,6 +33,25 @@ def test_multiway_join_broadcasts_dims(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_growing_tables_not_force_broadcast(spark, sf_small):
+    """supplier (b7) and part (b10) grow with scale factor: their joins must
+    rely on the size threshold (AQE-demotable), never an explicit hint. With
+    the threshold disabled those joins must degrade to shuffle joins — a
+    forced hint would keep them BroadcastHashJoin and OOM at 100x."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("b7_join_multiway", "b10_join_range"):
+            plan = explain_str(all_queries()[name](spark, sf_small), "simple")
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        # b10's only join is lineitem x part: with no hint and no threshold
+        # there must be no broadcast left anywhere in the plan.
+        plan10 = explain_str(all_queries()["b10_join_range"](spark, sf_small), "simple")
+        assert "BroadcastHashJoin" not in plan10, plan10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_topk_plans_as_take_ordered(spark, sf_small):
     df = all_queries()["b18_topk"](spark, sf_small)
     assert "TakeOrderedAndProject" in explain_str(df, "simple")

@@ -255,8 +255,12 @@ def _jaccard_pairs_bitset(
     a, b = m.alias("a"), m.alias("b")
     cond = (
         (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("b.n_tok") >= F.col("a.n_tok") * F.lit(threshold))
-        & (F.col("a.n_tok") >= F.col("b.n_tok") * F.lit(threshold))
+        # size pruning, rounding-tolerant: n_tok*t can pick up 1-ulp noise
+        # (20*0.55 -> 11.000000000000002) which would wrongly exclude exact
+        # J == t boundary pairs; round() restores the mathematical product
+        # for any threshold with <= 6 decimal digits.
+        & (F.col("b.n_tok") >= F.round(F.col("a.n_tok") * F.lit(threshold), 6))
+        & (F.col("a.n_tok") >= F.round(F.col("b.n_tok") * F.lit(threshold), 6))
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -307,16 +311,23 @@ def _jaccard_pairs_prefix(
         "rnk",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("tf", "tok")),
     )
-    prefix_len = F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(threshold)) + 1
+    # Rounding-tolerant overlap bound: F.ceil over a raw double product
+    # over-counts when t*n_tok is mathematically an integer that rounds up
+    # in binary (0.55*20 -> 11.000000000000002 -> ceil 12), shrinking the
+    # prefix below the pigeonhole requirement and silently dropping pairs.
+    prefix_len = (
+        F.col("n_tok") - F.ceil(F.round(F.col("n_tok") * F.lit(threshold), 6)) + 1
+    )
     prefix = ranked.filter(F.col("rnk") <= prefix_len)
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (
         (F.col("a.tok") == F.col("b.tok"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # size pruning: J >= t is impossible outside these bounds
-        & (F.col("b.n_tok") >= F.col("a.n_tok") * F.lit(threshold))
-        & (F.col("a.n_tok") >= F.col("b.n_tok") * F.lit(threshold))
+        # size pruning: J >= t is impossible outside these bounds (same
+        # rounding tolerance as the bitset plan)
+        & (F.col("b.n_tok") >= F.round(F.col("a.n_tok") * F.lit(threshold), 6))
+        & (F.col("a.n_tok") >= F.round(F.col("b.n_tok") * F.lit(threshold), 6))
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -498,6 +509,19 @@ def connected_components(
     unconverged labels would be *wrong*, not just slow.
     """
     spark = ids.sparkSession
+    # Convergence is detected from sum(label cast decimal): a non-numeric id
+    # column would cast to NULL, making the sum NULL on every round and the
+    # None == None comparison end the loop after round 1 with silently wrong
+    # clusters. Fail loudly instead.
+    from pyspark.sql.types import NumericType
+
+    id_type = ids.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"connected_components requires a numeric id column for its "
+            f"label-sum convergence check; {id_col!r} is {id_type.simpleString()} "
+            f"— map ids to integers first (e.g. xxhash64 or zipWithIndex)"
+        )
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     if not edges_unique:
         e = e.distinct()

@@ -348,12 +348,24 @@ def cdc_snapshot(
     key: str,
     seq_col: str,
     op_col: str = "op",
+    validate_unique_seq: bool = False,
 ) -> DataFrame:
     """Changelog compaction: reduce an insert/update/delete event log to
     the current snapshot — the read side of CDC ingestion (what MERGE
     applies incrementally, computed from scratch). Latest operation per key
     by (seq, op) wins; a winning delete erases the key. One shuffle keyed
-    on the business key via max_by — no window sort."""
+    on the business key via max_by — no window sort.
+
+    **Tie contract:** ``seq_col`` is assumed unique per key (a changelog
+    position). If two ops do share a seq, the tie breaks by lexicographic
+    op code — ``'U' > 'I' > 'D'`` — so an update/insert beats a delete at
+    the same seq and the key SURVIVES. This is a stated contract, not an
+    accident: a well-formed changelog never collides, and when one does the
+    non-destructive outcome is the recoverable one. Callers that would
+    rather fail than guess pass ``validate_unique_seq=True``: the plan then
+    raises at execution time on any key with a duplicated seq (checked
+    distributed, inside the same single shuffle — no extra pass).
+    """
     from pyspark.sql import functions as F
 
     others = [c for c in changes.columns if c not in (key, seq_col, op_col)]
@@ -362,13 +374,30 @@ def cdc_snapshot(
             "cdc_snapshot: changelog has a data column named '_op', which "
             "collides with the internal op alias; rename it"
         )
-    latest = changes.groupBy(key).agg(
+    aggs = [
         F.max_by(
             F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in others]),
             F.struct(F.col(seq_col), F.col(op_col)),
         ).alias("_last")
-    )
+    ]
+    if validate_unique_seq:
+        aggs += [
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(seq_col)).alias("_n_seq"),
+        ]
+    latest = changes.groupBy(key).agg(*aggs)
+    op = F.col("_last._op")
+    if validate_unique_seq:
+        op = F.when(
+            F.col("_n") != F.col("_n_seq"),
+            F.raise_error(
+                F.concat(
+                    F.lit("cdc_snapshot: duplicate seq for key "),
+                    F.col(key).cast("string"),
+                )
+            ).cast("string"),
+        ).otherwise(op)
     return (
-        latest.filter(F.col("_last._op") != "D")
+        latest.filter(op != "D")
         .select(key, *[F.col(f"_last.{c}").alias(c) for c in others])
     )

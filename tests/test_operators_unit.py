@@ -134,6 +134,22 @@ def test_connected_components_known_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_rejects_non_numeric_ids(spark):
+    """Regression (ADVICE r2): a string id column casts to NULL in the
+    DECIMAL label-sum convergence scalar, ending the loop after one round
+    with silently wrong clusters — must raise instead."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "doc_id string")
+    edges = spark.createDataFrame([("a", "b")], "doc_id_a string, doc_id_b string")
+    with pytest.raises(TypeError, match="numeric id column"):
+        connected_components(ids, edges)
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 30-node chain needs label propagation over many hops — exercises
     the iteration/convergence logic, not just one round."""

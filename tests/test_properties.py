@@ -190,6 +190,55 @@ def test_jaccard_plans_match_bruteforce_random_corpora(spark):
         assert got == want, f"trial {trial} vocab={vocab_size}"
 
 
+def test_jaccard_boundary_threshold_rounding(spark):
+    """Regression (ADVICE r2): thresholds whose product with n_tok is an
+    integer that rounds UP in binary (20*0.55 -> 11.000000000000002) must
+    not drop exact J == t boundary pairs — previously lost to both the
+    over-ceiled prefix length and the size-pruning bounds (shared by the
+    bitset plan)."""
+    import itertools
+    from fractions import Fraction
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    assert 25 * 0.28 > 7, "fixture premise: binary product rounds up"
+    # A has 25 tokens; B is a 7-token subset: J = 7/25 = 0.28 exactly.
+    a_toks = [f"s{i:02d}" for i in range(25)]
+    docs = [(0, " ".join(a_toks)), (1, " ".join(a_toks[:7]))]
+
+    # bitset plan (vocab 25 <= 64): boundary pair must survive size pruning
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in token_jaccard_pairs(df, threshold=0.28).collect()
+    }
+    assert (0, 1) in got, "bitset plan dropped the exact J == t pair"
+
+    # prefix plan: disjoint filler docs push vocab past the 64-token cutoff
+    filler = [
+        (100 + i, " ".join(f"u{i:02d}x{j}" for j in range(5))) for i in range(20)
+    ]
+    df2 = spark.createDataFrame(docs + filler, "doc_id long, text string")
+    got2 = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in token_jaccard_pairs(df2, threshold=0.28).collect()
+    }
+    assert (0, 1) in got2, "prefix plan dropped the exact J == t pair"
+
+    # full brute-force equality at the awkward threshold (exact rationals)
+    sets = {i: set(t.split()) for i, t in docs + filler}
+    want = {
+        (x, y)
+        for x, y in itertools.combinations(sorted(sets), 2)
+        if sets[x] & sets[y]
+        and Fraction(len(sets[x] & sets[y]), len(sets[x] | sets[y]))
+        >= Fraction(7, 25)
+    }
+    assert got2 == want
+
+
 def test_connected_components_matches_union_find(spark):
     """Property: distributed min-label CC equals a python union-find on
     random graphs (including multi-component and chain shapes)."""

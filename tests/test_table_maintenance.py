@@ -199,3 +199,42 @@ def test_cdc_snapshot_compaction(spark):
     )
     got = {r.id: r.v for r in cdc_snapshot(log, "id", "seq").collect()}
     assert got == {1: "a2", 3: "c2"}
+
+
+def test_cdc_snapshot_same_seq_tie_is_stated_contract(spark):
+    """ADVICE r2: at equal seq the op code breaks the tie ('U' > 'I' > 'D'),
+    so a colliding delete loses and the key survives — now a documented
+    contract, asserted here."""
+    from data_engineering_zoomcamp_my_test_spark.sinks import cdc_snapshot
+
+    log = spark.createDataFrame(
+        [(1, 1, "I", "x"), (1, 2, "D", None), (1, 2, "U", "y")],
+        "id long, seq long, op string, v string",
+    )
+    got = {r.id: r.v for r in cdc_snapshot(log, "id", "seq").collect()}
+    assert got == {1: "y"}
+
+
+def test_cdc_snapshot_validate_unique_seq(spark):
+    """Opt-in strictness: validate_unique_seq raises (at execution, in the
+    same shuffle) on any key with a duplicated seq; clean logs pass."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.sinks import cdc_snapshot
+
+    dirty = spark.createDataFrame(
+        [(1, 1, "I", "x"), (1, 2, "D", None), (1, 2, "U", "y")],
+        "id long, seq long, op string, v string",
+    )
+    with pytest.raises(Exception, match="duplicate seq"):
+        cdc_snapshot(dirty, "id", "seq", validate_unique_seq=True).collect()
+
+    clean = spark.createDataFrame(
+        [(1, 1, "I", "x"), (1, 2, "U", "y"), (2, 1, "I", "z")],
+        "id long, seq long, op string, v string",
+    )
+    got = {
+        r.id: r.v
+        for r in cdc_snapshot(clean, "id", "seq", validate_unique_seq=True).collect()
+    }
+    assert got == {1: "y", 2: "z"}

@@ -47,9 +47,13 @@ _PRIORITY = (
     "c7_tumbling", "c8_sliding",
     "c9_session", "c9b_session_window",
     "c10_json_extract", "c21_json_agg",
-    # Flagship dedup pipeline + decontamination (both hash-checkable; the
-    # rows-only minhash hot path c33 yields its window slot to them)
-    "c36_dedup_clusters", "c43_keep_best_per_cluster", "c46_decontaminate",
+    # Rotation slots (round 3): the 47 decls above are SURVEY-mandated and
+    # pinned; the remaining 3 window seats rotate each round to decls that
+    # have never had a driver correctness row, retiring residual risk one
+    # batch at a time (VERDICT r2 #4).  Round 2 seated c36/c43/c46 (now
+    # driver-green); round 3 seats the two oracles whose HUGEINT casts were
+    # fixed this round plus the JSON-malformed-handling decl.
+    "c32_profile", "c49_token_budget_mix", "c51_from_json",
 )
 
 

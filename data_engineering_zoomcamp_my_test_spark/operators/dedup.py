@@ -469,6 +469,93 @@ def _simhash_band_pairs(
 _CC_SMALL_GRAPH_NODES = 1_000_000
 
 
+def connected_components_star(
+    ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating **large-star / small-star**
+    rounds (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 100 TB-scale algorithm: O(log n) rounds regardless of
+    component diameter, where min-label propagation needs O(diameter)
+    rounds (a 1M-hop chain: ~20 rounds vs ~1M).
+
+    Rounds rewrite the edge set only (no label table):
+
+    - **large-star**: each node u links every strictly-larger neighbor to
+      m = min(N(u) | {u}) — long chains contract geometrically;
+    - **small-star**: on (big -> small)-oriented edges, each node links its
+      smaller neighbors and itself to its minimum neighbor.
+
+    Both emissions are canonically oriented (big, small) and distinct, so
+    the fixpoint — every component a star rooted at its minimum id — is
+    detected by exact set equality of consecutive edge sets (count + one
+    ``exceptAll`` probe; no hash shortcut that could silently lie). Unlike
+    the min-label twin, ids only need to be ORDERABLE, not numeric.
+
+    Per round: two self-describing shuffles (groupBy min + join), both on
+    the edge relation — no unbounded reducer state; ``localCheckpoint``
+    truncates lineage. Output contract matches ``connected_components``:
+    one row per id in ``ids`` with ``cluster`` = component minimum
+    (singletons label themselves).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = e.count()
+    for _ in range(max_iter):
+        # large-star: emit (v, m) for every neighbor v > u
+        sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("mn", "a").alias("m"))
+        ls = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: emit (v, m) for v in N(u) | {u}, v != m (edges in ls
+        # are already (big, small)-oriented, so the group key IS the max)
+        mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ls.join(mins2, "a")
+            .select(F.explode(F.array(F.col("a"), F.col("b"))).alias("n"), "m")
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cnt = ss.count()
+        if cnt == prev_cnt and ss.exceptAll(e).isEmpty():
+            e = ss
+            break
+        e, prev_cnt = ss, cnt
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — structurally unreachable for max_iter >= 2*log2(n)+2; "
+            "raise max_iter"
+        )
+    return (
+        ids.select(F.col(id_col).alias("a"))
+        .join(e, "a", "left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce(F.col("b"), F.col("a")).alias("cluster"),
+        )
+    )
+
+
 def connected_components(
     ids: DataFrame,
     edges: DataFrame,
@@ -477,6 +564,7 @@ def connected_components(
     dst_col: str = "doc_id_b",
     max_iter: int = 20,
     edges_unique: bool = False,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components by min-label propagation — the step that turns
     pairwise near-dup candidates into duplicate *clusters* (keep one doc per
@@ -507,20 +595,42 @@ def connected_components(
     Raises ``RuntimeError`` if labels are still changing after ``max_iter``
     rounds (a component with diameter > max_iter): silently returning the
     unconverged labels would be *wrong*, not just slow.
+
+    ``algorithm`` selects the round structure: ``"minlabel"`` (this loop),
+    ``"star"`` (:func:`connected_components_star`, O(log n) rounds), or
+    ``"auto"`` (default) — min-label while the graph fits the broadcastable
+    small-graph regime (round latency dominates and a handful of rounds
+    wins), large-star/small-star beyond it, where component diameter is
+    unbounded and O(log n) rounds is the difference between a job that
+    finishes and one that doesn't. Non-numeric ids always route to star
+    (min-label's DECIMAL convergence scalar needs numeric labels).
     """
     spark = ids.sparkSession
-    # Convergence is detected from sum(label cast decimal): a non-numeric id
-    # column would cast to NULL, making the sum NULL on every round and the
-    # None == None comparison end the loop after round 1 with silently wrong
-    # clusters. Fail loudly instead.
+    if algorithm not in ("auto", "minlabel", "star"):
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
     from pyspark.sql.types import NumericType
 
-    id_type = ids.schema[id_col].dataType
-    if not isinstance(id_type, NumericType):
+    numeric_ids = isinstance(ids.schema[id_col].dataType, NumericType)
+    if algorithm == "star" or (algorithm == "auto" and not numeric_ids):
+        return connected_components_star(
+            ids, edges, id_col, src_col, dst_col, max_iter=max(max_iter, 25)
+        )
+    if not numeric_ids:
+        # minlabel explicitly requested: its convergence scalar is
+        # sum(label cast decimal) — a non-numeric id casts to NULL, the sum
+        # is NULL every round, and None == None would end the loop after
+        # round 1 with silently wrong clusters. Fail loudly instead.
         raise TypeError(
-            f"connected_components requires a numeric id column for its "
-            f"label-sum convergence check; {id_col!r} is {id_type.simpleString()} "
-            f"— map ids to integers first (e.g. xxhash64 or zipWithIndex)"
+            f"connected_components(algorithm='minlabel') requires a numeric "
+            f"id column for its label-sum convergence check; {id_col!r} is "
+            f"{ids.schema[id_col].dataType.simpleString()} — use "
+            f"algorithm='star' or map ids to integers first"
+        )
+    n_nodes = ids.count()
+    small = n_nodes <= _CC_SMALL_GRAPH_NODES
+    if algorithm == "auto" and not small:
+        return connected_components_star(
+            ids, edges, id_col, src_col, dst_col, max_iter=max(max_iter, 25)
         )
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     if not edges_unique:
@@ -529,8 +639,6 @@ def connected_components(
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    n_nodes = labels.count()
-    small = n_nodes <= _CC_SMALL_GRAPH_NODES
     saved = {
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled", "true"),
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions", "200"),

@@ -136,8 +136,10 @@ def test_connected_components_known_graph(spark):
 
 def test_connected_components_rejects_non_numeric_ids(spark):
     """Regression (ADVICE r2): a string id column casts to NULL in the
-    DECIMAL label-sum convergence scalar, ending the loop after one round
-    with silently wrong clusters — must raise instead."""
+    DECIMAL label-sum convergence scalar, ending the minlabel loop after
+    one round with silently wrong clusters — explicit minlabel must raise;
+    the default routes non-numeric ids to the star algorithm (which only
+    needs orderable ids) and clusters correctly."""
     import pytest
 
     from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
@@ -147,7 +149,53 @@ def test_connected_components_rejects_non_numeric_ids(spark):
     ids = spark.createDataFrame([("a",), ("b",), ("c",)], "doc_id string")
     edges = spark.createDataFrame([("a", "b")], "doc_id_a string, doc_id_b string")
     with pytest.raises(TypeError, match="numeric id column"):
-        connected_components(ids, edges)
+        connected_components(ids, edges, algorithm="minlabel")
+    out = {r.doc_id: r.cluster for r in connected_components(ids, edges).collect()}
+    assert out == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_connected_components_star_known_graph(spark):
+    """Star algorithm on the same chain/triangle/singleton fixture as the
+    min-label test — identical output contract."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_id_a long, doc_id_b long",
+    )
+    out = {r.doc_id: r.cluster for r in connected_components_star(ids, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_star_beats_minlabel_round_count_on_long_chain(spark):
+    """The point of large-star/small-star: a 64-hop chain converges in
+    O(log n) rounds where min-label needs one round per hop. Assert the
+    asymmetry through max_iter: star succeeds within 12 rounds, min-label
+    raises its non-convergence error."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    out = {
+        r.doc_id: r.cluster
+        for r in connected_components_star(ids, edges, max_iter=12).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == n
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            ids, edges, max_iter=12, algorithm="minlabel"
+        ).collect()
 
 
 def test_connected_components_long_chain_converges(spark):

@@ -287,6 +287,41 @@ def test_connected_components_matches_union_find(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_star_cc_matches_minlabel_random_graphs(spark):
+    """Property: large-star/small-star CC produces the exact same
+    (id, cluster) assignment as the min-label twin on random graphs —
+    the two algorithms are interchangeable, only round complexity differs."""
+    rng = random.Random(47)
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for trial in range(3):
+        n = 40
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.05
+        ]
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "doc_id_a long, doc_id_b long"
+        )
+        star = {
+            r.doc_id: r.cluster
+            for r in connected_components_star(ids, edf).collect()
+        }
+        minlabel = {
+            r.doc_id: r.cluster
+            for r in connected_components(
+                ids, edf, max_iter=40, algorithm="minlabel"
+            ).collect()
+        }
+        assert star == minlabel, f"trial {trial}"
+
+
 def test_approx_percentiles_close_to_exact(spark, sf_small):
     """c53's sketch quantiles must land within 5% relative error of the
     exact per-group percentiles. (percentile_approx returns a nearest-rank

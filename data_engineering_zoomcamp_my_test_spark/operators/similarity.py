@@ -271,20 +271,45 @@ def c45_lsh_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn_batch(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.35 — tuned to the
-    synthetic corpus's similarity range), blocked by
-    label to bound the pair space (the label is a cheap blocking key; at
-    scale the block key comes from LSH buckets)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "_norm", l2_norm("embedding")
-    )
+def embed_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the routing entry point.
+
+    The DEFAULT path for near-duplicate thresholds (cos >= ~0.8) is
+    :func:`lsh_blocked_neardup` (c48): pairs form only inside composite-key
+    LSH buckets, whose sizes follow the random projections rather than any
+    data column's skew — the 100 TB-safe plan. The exact label-blocked join
+    (c18's shape) is the SMALL-CORPUS option: pass ``block_col`` explicitly
+    to opt in, acknowledging that one hot block goes quadratic at scale.
+    Low thresholds (below the ~0.8 near-dup regime, where LSH distance gaps
+    vanish into the background) require the exact path and therefore an
+    explicit ``block_col``.
+    """
+    if block_col is not None:
+        return _exact_blocked_neardup(embeddings, threshold, block_col)
+    if threshold < 0.8:
+        raise ValueError(
+            f"threshold={threshold} is below the LSH near-dup regime; "
+            "pass block_col= to opt into the exact small-corpus block join"
+        )
+    return lsh_blocked_neardup(embeddings, threshold=threshold)
+
+
+def _exact_blocked_neardup(
+    embeddings: DataFrame, threshold: float, block_col: str
+) -> DataFrame:
+    """Exact cosine pairs inside explicit blocks — correct at any
+    threshold, quadratic in the largest block (small-corpus baseline)."""
+    emb = embeddings.withColumn("_norm", l2_norm("embedding"))
     a = emb.alias("a")
     b = emb.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -296,8 +321,23 @@ def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.35)
+        .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def c18_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the EXACT label-blocked
+    join — the small-corpus baseline, kept oracle-checkable at threshold
+    0.35 (tuned to the synthetic corpus's similarity range, whose max
+    off-diagonal cosine ~0.51 sits below any LSH-able near-dup regime).
+
+    This is deliberately NOT the scale path: pairs form inside ``label``
+    blocks, and one skewed block goes quadratic at 100x. The production
+    default for real near-dup thresholds (cos >= ~0.8) is
+    :func:`embed_neardup` -> :func:`lsh_blocked_neardup` (c48), where block
+    sizes follow LSH projections instead of data skew."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _exact_blocked_neardup(emb, 0.35, "label")
 
 
 def lsh_blocked_neardup(

@@ -119,6 +119,27 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     assert all(r.neighbor_id != 1 for r in out)
 
 
+def test_embed_neardup_router(spark, sf_small):
+    """embed_neardup routes: near-dup thresholds -> LSH-blocked (c48, the
+    scale default); explicit block_col -> exact block join (c18's shape);
+    low threshold without a block refuses rather than going quadratic."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        embed_neardup,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    with pytest.raises(ValueError, match="block_col"):
+        embed_neardup(emb, threshold=0.35)
+    exact = embed_neardup(emb, threshold=0.35, block_col="label")
+    assert exact.columns == ["vec_id_a", "vec_id_b", "cosine_sim"]
+    assert exact.count() > 0
+    lsh = embed_neardup(emb, threshold=0.9)
+    assert lsh.columns == ["vec_id_a", "vec_id_b", "cosine_sim"]
+    assert lsh.count() == 0  # corpus max off-diag cosine ~0.51: empty is correct
+
+
 def test_connected_components_known_graph(spark):
     """Chain 1-2-3, triangle 10-11-12 (+edge), singleton 99."""
     from data_engineering_zoomcamp_my_test_spark.operators.dedup import (

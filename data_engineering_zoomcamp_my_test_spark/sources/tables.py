@@ -35,9 +35,12 @@ TABLE_NAMES: tuple[str, ...] = (
     "embeddings",
 )
 
-# Dimension tables that are safely broadcastable at any realistic scale
-# (region/nation are fixed-cardinality; supplier/part grow slowly with SF).
-BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+# Dimension tables that are safely broadcastable at ANY scale: only the
+# structurally fixed-cardinality dims qualify (region=5, nation=25).
+# supplier/part/customer grow with scale factor — they may still broadcast
+# when the size threshold + AQE decide they fit, but never via a forced
+# hint that cannot be demoted.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:

@@ -31,6 +31,33 @@ def dmoney_sum(col: Column, alias: str) -> Column:
     return F.sum(col).cast("double").alias(alias)
 
 
+def cents(col: Column | str, scale: int = 100) -> Column:
+    """Exact integer sub-units (LONG) of a monetary double.
+
+    Routes through :func:`money` first so rounding semantics (double →
+    DECIMAL(18,2), HALF_UP on the shortest decimal repr) are identical to the
+    decimal plan and to ``CAST(x AS DECIMAL(18,2))`` in the DuckDB oracle;
+    the subsequent ``* scale`` and LONG cast are exact.
+    """
+    return (money(col) * scale).cast("long")
+
+
+def cents_sum(col: Column, alias: str, scale: int = 10000) -> Column:
+    """Exact SUM over integer sub-unit LONGs, surfaced as DOUBLE.
+
+    Faster than the DECIMAL accumulate (primitive long partial aggregation in
+    whole-stage codegen vs BigDecimal buffers) and still deterministic: the
+    long sum is exact, converts to double exactly below 2**53 sub-units, and
+    the final division by a power of ten is correctly rounded — bit-identical
+    to ``CAST(SUM(decimal) AS DOUBLE)``.
+
+    ONLY safe when the per-group row count is bounded (not SF-growing):
+    overflow headroom is ~9.2e18 sub-units. Use :func:`dmoney_sum` for
+    whole-table or SF-growing groups.
+    """
+    return (F.sum(col) / F.lit(scale)).cast("double").alias(alias)
+
+
 def money_avg(col: Column, alias: str) -> Column:
     """Deterministic average: exact decimal sum / count, divided as doubles
     (matches ``CAST(SUM(dec) AS DOUBLE) / COUNT(*)`` in ANSI SQL)."""

@@ -63,6 +63,7 @@ class EngineConfig:
             .config("spark.sql.session.timeZone", self.session_timezone)
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             .config("spark.ui.enabled", str(self.ui_enabled).lower())
             .config("spark.sql.cbo.enabled", "true")
         )
@@ -90,6 +91,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),

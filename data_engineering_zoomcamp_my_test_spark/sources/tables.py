@@ -50,19 +50,36 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-local TIMESTAMP (LTZ).
+
+    The driver's parquet carries ``isAdjustedToUTC=false`` timestamps, which
+    Spark reads as TIMESTAMP_NTZ when NTZ inference is on. The engine's
+    timestamp semantics are LTZ in a UTC-pinned session (same wall-clock
+    values, and instant-based functions like ``unix_micros``/``window`` work
+    uniformly). The session conf disables NTZ inference; this cast is the
+    belt-and-braces for foreign sessions whose scans were planned before
+    ``ensure_session_conf`` ran. A no-op projection when types already match.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one named table from ``sf_dir``. Normalizes ``events.ts``."""
+    """Load one named table from ``sf_dir``. Normalizes timestamp columns."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         _ensure_nanos_conf(spark)
         df = spark.read.parquet(path)
-        # ts scanned as int64 nanoseconds-since-epoch; truncate to micros.
-        # Guarded on the runtime dtype so a session (or future Spark) that
-        # already maps NANOS to a timestamp type passes through untouched.
+        # Historical testdata wrote ts as parquet TIMESTAMP(NANOS), scanned
+        # as int64 nanoseconds-since-epoch; truncate to micros. Current
+        # testdata writes µs directly — guarded on the runtime dtype.
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(path))
 
 
 def load_tables(

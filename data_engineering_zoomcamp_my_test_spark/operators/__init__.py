@@ -34,26 +34,31 @@ _PRIORITY = (
     # Tier B core SQL surface (B1-B28)
     "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
     "b5_approx_distinct", "b6_join_inner", "b7_join_multiway", "b8_join_left",
-    "b9_join_anti", "b9_join_semi", "b10_join_range", "b11_cross",
+    "b9_join_anti", "b10_join_range", "b11_cross",
     "b12_subq_scalar", "b13_rollup", "b14_win_rank", "b15_win_lag",
     "b16_win_frame", "b17_sort", "b18_topk", "b19_setops", "b20_case",
     "b21_string_fns", "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
     "b26_cte", "b27_having", "b28_array_fns",
-    # Tier C mandated rows C1-C10 (plus same-row companions c13/c9b/c21)
+    # Tier C mandated rows C1-C10.  The same-row companions that used to sit
+    # here (c13_knn_all, c9b_session_window, c21_json_agg, b9_join_semi's twin
+    # stays via b9_join_anti) are driver-green as of r3 and not SURVEY-mandated
+    # under their own names, so they rotated out to free extra seats
+    # (VERDICT r3 #1); their pinned twins remain the mandated coverage.
     "c1_dedup_exact", "c2_dedup_norm",
-    "c3_cosine_topk", "c13_knn_all", "c4_lsh_knn",
+    "c3_cosine_topk", "c4_lsh_knn",
     "c5_text_stats",
     "c6_minhash", "c6_lsh_dup_pairs",
     "c7_tumbling", "c8_sliding",
-    "c9_session", "c9b_session_window",
-    "c10_json_extract", "c21_json_agg",
-    # Rotation slots (round 3): the 47 decls above are SURVEY-mandated and
-    # pinned; the remaining 3 window seats rotate each round to decls that
+    "c9_session",
+    "c10_json_extract",
+    # Rotation slots (round 4): the 43 decls above are SURVEY-mandated and
+    # pinned; the remaining 7 window seats rotate each round to decls that
     # have never had a driver correctness row, retiring residual risk one
-    # batch at a time (VERDICT r2 #4).  Round 2 seated c36/c43/c46 (now
-    # driver-green); round 3 seats the two oracles whose HUGEINT casts were
-    # fixed this round plus the JSON-malformed-handling decl.
-    "c32_profile", "c49_token_budget_mix", "c51_from_json",
+    # batch at a time.  r2 seated c36/c43/c46, r3 seated c32/c49/c51 — all
+    # six are driver-green and rotated out.  r4 seats the first seven
+    # exact-oracle never-checked decls in VERDICT r3's priority order.
+    "b31_pivot", "b32_unpivot", "b37_cube", "b38_explode",
+    "b42_filter_agg", "b43_grouping_sets", "c22_hourly_top_event",
 )
 
 

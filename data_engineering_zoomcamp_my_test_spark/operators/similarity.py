@@ -245,6 +245,14 @@ def c13_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def c4_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query LSH ANN via MLlib ``approxNearestNeighbors``.
+
+    This is the interactive/driver-oriented API: it pulls ONE query vector to
+    the driver and resolves one lookup. For any batch of queries — and for
+    anything running at scale — use ``c45_lsh_knn_batch``
+    (``approxSimilarityJoin``): it is the bucket-keyed, fully distributed
+    path with no per-query driver hop.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)

@@ -43,13 +43,6 @@ TABLE_NAMES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
-def _ensure_nanos_conf(spark: SparkSession) -> None:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
-
-
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Cast any TIMESTAMP_NTZ column to session-local TIMESTAMP (LTZ).
 
@@ -63,15 +56,24 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        # df[c] rather than F.col(c): the latter re-parses the name, so a
+        # column containing ``.`` or backticks would mis-resolve.
+        df = df.withColumn(c, df[c].cast("timestamp"))
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one named table from ``sf_dir``. Normalizes timestamp columns."""
+    """Load one named table from ``sf_dir``. Normalizes timestamp columns.
+
+    Applies ``ensure_session_conf`` first so the UTC-timezone invariant the
+    NTZ->LTZ cast relies on cannot be bypassed by a foreign session that
+    loads tables before configuring itself.
+    """
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        _ensure_nanos_conf(spark)
         df = spark.read.parquet(path)
         # Historical testdata wrote ts as parquet TIMESTAMP(NANOS), scanned
         # as int64 nanoseconds-since-epoch; truncate to micros. Current

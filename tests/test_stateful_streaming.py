@@ -26,7 +26,18 @@ def test_tws_processor_matches_batch(spark, sf_small, tmp_path):
     try:
         stream = streaming_user_ledger_tws(spark, src, query_name="tws_parity")
     except Exception as exc:  # pragma: no cover - API gate on this build
-        pytest.skip(f"transformWithStateInPandas unavailable: {exc}")
+        # Environment gate (processor.py module docstring): the TWS state
+        # server speaks protobuf and google.protobuf is not installed here.
+        # Assert that this is THE reason, so the skip cannot mask a real
+        # regression on an environment where TWS should work.
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            pytest.skip(
+                "transformWithStateInPandas requires google.protobuf "
+                f"(absent in this environment); query failed with: {exc}"
+            )
+        raise
     batch = batch_user_ledger(spark.read.parquet(src))
     s = {r.user_id: (r.n_events, r.total_value) for r in stream.collect()}
     b = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in batch.collect()}

@@ -411,14 +411,15 @@ def lsh_blocked_neardup(
             for i in range(num_tables)
         ]
     )
-    buckets = proj.withColumn("_norm", l2_norm("embedding")).select(
-        "vec_id",
-        "embedding",
-        "_norm",
-        F.posexplode(keys).alias("_table", "_bucket"),
-    )
+    # Candidate generation runs on SLIM rows (vec_id + bucket key only):
+    # carrying the embedding through the L-way explode would shuffle
+    # L x corpus-width bytes on both join sides. Pairs are deduped BEFORE
+    # verification, so the exact cosine is computed once per unique
+    # candidate pair instead of once per colliding table (near-dups — the
+    # whole point of OR-amplification — collide in many tables).
+    buckets = proj.select("vec_id", F.posexplode(keys).alias("_table", "_bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a._table") == F.col("b._table"))
@@ -428,14 +429,39 @@ def lsh_blocked_neardup(
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    emb = embeddings.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("_norm")
+    )
+    return (
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("embedding").alias("_emb_a"),
+                F.col("_norm").alias("_norm_a"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("embedding").alias("_emb_b"),
+                F.col("_norm").alias("_norm_b"),
+            ),
+            "vec_id_b",
+        )
+        .select(
+            "vec_id_a",
+            "vec_id_b",
             F.round(
-                dot_product(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a._norm") * F.col("b._norm")),
+                dot_product(F.col("_emb_a"), F.col("_emb_b"))
+                / (F.col("_norm_a") * F.col("_norm_b")),
                 6,
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .distinct()
     )
 
 

@@ -173,9 +173,43 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bands
 
 
-def lsh_candidate_pairs(docs: DataFrame, jvm: bool = True) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, jvm: bool = True, collapse_exact: bool = True
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, band_hash) bucket.
-    The only join is keyed on the bucket — sub-quadratic by construction."""
+    The only join is keyed on the bucket — sub-quadratic by construction.
+
+    Exact-copy groups are collapsed first (stats probe): identical texts
+    share every band, so they are always candidates of each other and of
+    whatever their representative matches — the band join never needs to
+    see the copies (c copies would cost c^2 per bucket)."""
+    if collapse_exact and _has_exact_copies(docs, None):
+        mapping, reps = _collapse_exact(docs, None)
+        rep_pairs = lsh_candidate_pairs(reps, jvm=jvm, collapse_exact=False)
+        ma = mapping.select(
+            F.col("rep_id").alias("doc_id_a"), F.col("doc_id").alias("_ma")
+        )
+        mb = mapping.select(
+            F.col("rep_id").alias("doc_id_b"), F.col("doc_id").alias("_mb")
+        )
+        cross = (
+            rep_pairs.join(ma, "doc_id_a")
+            .join(mb, "doc_id_b")
+            .select(
+                F.least("_ma", "_mb").alias("doc_id_a"),
+                F.greatest("_ma", "_mb").alias("doc_id_b"),
+            )
+        )
+        m1 = mapping.select("rep_id", F.col("doc_id").alias("_a"))
+        m2 = mapping.select("rep_id", F.col("doc_id").alias("_b"))
+        intra = (
+            m1.join(m2, "rep_id")
+            .where(F.col("_a") < F.col("_b"))
+            .select(
+                F.col("_a").alias("doc_id_a"), F.col("_b").alias("doc_id_b")
+            )
+        )
+        return cross.unionByName(intra)
     bands = minhash_bands_jvm(docs) if jvm else minhash_bands(docs)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -194,8 +228,98 @@ def lsh_candidate_pairs(docs: DataFrame, jvm: bool = True) -> DataFrame:
     )
 
 
+def _has_exact_copies(docs: DataFrame, block_col: str | None) -> bool:
+    """Stats probe: does the corpus contain a meaningful share of exact
+    (block, text) duplicates? One scan, sketch-based — the same kind of
+    bounded plan probe ``token_jaccard_pairs`` already does for its
+    bitset-vs-prefix decision.
+
+    Cutoff 1.5: a copy ratio c inflates the pair join by at most ~c^2 for
+    the duplicated portion, so below ~1.5 the worst-case penalty (~2x) is
+    smaller than the collapse's own window + expansion overhead (measured
+    ~+3s at sf0.1, where the planted ratio is ~1.2); above it the c^2 term
+    dominates (42x measured at c = 10). The margin also absorbs
+    approx_count_distinct's ~2% error."""
+    blk = [F.col(block_col)] if block_col else []
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.concat_ws("\x00", *blk, F.col("text"))).alias(
+            "nd"
+        ),
+    ).head()
+    return row["n"] >= 1.5 * max(row["nd"], 1)
+
+
+def _collapse_exact(
+    docs: DataFrame, block_col: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate texts (per block) to one representative.
+
+    Returns ``(mapping, reps)``: ``mapping`` is (doc_id, rep_id) for every
+    input doc, ``reps`` is the docs rows whose doc_id is its group's minimum.
+    One window shuffle keyed on (block, text), paid ONCE — the collapsed
+    relation is localCheckpoint-materialized because every consumer (plan
+    probe, candidate join, expansion joins, CC node set) re-reads it.
+
+    This is the standard pre-step before any pairwise near-dup operator:
+    identical texts are J == 1 pairs by definition, so pair JOIN work only
+    needs to run over *distinct* texts. Without it, a corpus where each
+    document has c exact copies pays c^2 x the candidate-join work for
+    information the group structure already contains (measured 11-16x
+    wall-clock at sf1, where the scale generator makes c = 10).
+    """
+    from pyspark.sql.window import Window
+
+    blk = [block_col] if block_col else []
+    w = Window.partitionBy(*blk, "text")
+    with_rep = docs.withColumn(
+        "rep_id", F.min("doc_id").over(w)
+    ).localCheckpoint()
+    mapping = with_rep.select("doc_id", "rep_id")
+    reps = with_rep.filter(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
+    return mapping, reps
+
+
+def _expand_pairs(rep_pairs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Expand representative-level Jaccard pairs back to all doc pairs:
+    cross-group pairs inherit the representatives' jaccard (identical texts
+    have identical token sets); intra-group pairs are J == 1 by construction.
+    Linear in OUTPUT size — the quadratic candidate join never sees copies.
+    """
+    ma = mapping.select(
+        F.col("rep_id").alias("doc_id_a"), F.col("doc_id").alias("_ma")
+    )
+    mb = mapping.select(
+        F.col("rep_id").alias("doc_id_b"), F.col("doc_id").alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_id_a")
+        .join(mb, "doc_id_b")
+        .select(
+            F.least("_ma", "_mb").alias("doc_id_a"),
+            F.greatest("_ma", "_mb").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    m1 = mapping.select("rep_id", F.col("doc_id").alias("_a"))
+    m2 = mapping.select("rep_id", F.col("doc_id").alias("_b"))
+    intra = (
+        m1.join(m2, "rep_id")
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("doc_id_a"),
+            F.col("_b").alias("doc_id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def token_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, block_col: str | None = None
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard >= ``threshold`` pairs, with **stats-adaptive
     plan selection** (the operator-level analogue of Catalyst's stats-based
@@ -213,7 +337,19 @@ def token_jaccard_pairs(
 
     Both plans produce identical (exact) results; the threshold filter and
     double-division jaccard are shared so oracle parity is plan-invariant.
+
+    ``collapse_exact`` (default on) first collapses exact-duplicate texts to
+    one representative per (block, text) group, runs the pair plan on
+    representatives only, and expands the result back to all doc pairs —
+    identical output, but the candidate join never goes quadratic in the
+    exact-copy count (see ``_collapse_exact``).
     """
+    if collapse_exact and _has_exact_copies(docs, block_col):
+        mapping, reps = _collapse_exact(docs, block_col)
+        rep_pairs = token_jaccard_pairs(
+            reps, threshold, block_col, collapse_exact=False
+        )
+        return _expand_pairs(rep_pairs, mapping)
     blk = [block_col] if block_col else []
     base = docs.select(
         "doc_id",
@@ -686,14 +822,50 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.5, block_col: str | None = "source"
+) -> DataFrame:
+    """Near-dup clustering: token-Jaccard pairs -> connected components ->
+    (doc_id, cluster) where cluster is the min doc_id reachable; docs in no
+    pair form singleton clusters.
+
+    Exact-copy groups are collapsed BEFORE the pair join and the CC loop:
+    copies share their representative's component by a J == 1 edge, so the
+    graph only needs one node per distinct (block, text) — the iterative CC
+    never sees the copy multiplier, and the quadratic intra-group pair set
+    is never materialized at all (cluster labels re-attach through the
+    doc->rep mapping, which is linear). Label semantics are unchanged: a
+    rep is its group's min doc_id, so the component-min over reps IS the
+    component-min over all member docs. Copy-free corpora (stats probe)
+    skip the collapse and run CC on the docs directly."""
+    if not _has_exact_copies(docs, block_col):
+        pairs = token_jaccard_pairs(
+            docs, threshold=threshold, block_col=block_col, collapse_exact=False
+        )
+        return connected_components(
+            docs.select("doc_id"), pairs, edges_unique=True
+        )
+    mapping, reps = _collapse_exact(docs, block_col)
+    rep_pairs = token_jaccard_pairs(
+        reps, threshold=threshold, block_col=block_col, collapse_exact=False
+    )
+    rep_clusters = connected_components(
+        reps.select("doc_id"), rep_pairs, edges_unique=True
+    )
+    return (
+        mapping.join(
+            rep_clusters.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+        )
+        .select("doc_id", "cluster")
+    )
+
+
 def c36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup clustering pipeline: exact token-Jaccard pairs via
-    prefix filtering (blocked by source) -> connected components ->
-    (doc_id, cluster) where cluster is the min doc_id reachable. Docs in no
-    pair form singleton clusters."""
+    """Full near-dup clustering pipeline: exact-copy collapse -> exact
+    token-Jaccard pairs via prefix filtering (blocked by source) ->
+    connected components over representatives -> (doc_id, cluster)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
-    return connected_components(docs.select("doc_id"), pairs, edges_unique=True)
+    return dedup_clusters(docs, threshold=0.5, block_col="source")
 
 
 # --- declared queries ---------------------------------------------------------
@@ -768,8 +940,7 @@ def c43_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import english_stopword_hits, token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
-    clusters = connected_components(docs.select("doc_id"), pairs, edges_unique=True)
+    clusters = dedup_clusters(docs, threshold=0.5, block_col="source")
 
     ntok = token_count("text").cast("double")
     hits = english_stopword_hits("text").cast("double")

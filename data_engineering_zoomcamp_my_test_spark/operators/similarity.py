@@ -279,6 +279,73 @@ def c45_lsh_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn_batch(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _collapse_identical_vectors(
+    embeddings: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame] | None:
+    """Stats-probed exact-copy collapse for pairwise embedding operators.
+
+    Identical vectors are cos == 1 pairs by definition and can never be
+    separated by any projection or block, so they multiply every candidate
+    bucket they land in: c exact copies cost c^2 x the pair-join work
+    (measured 42x wall-clock at sf1, where the scale generator plants
+    c = 10). Returns ``(mapping, reps)`` — (vec_id, rep_id) for every row,
+    and one representative row per distinct (extra_keys, embedding) group —
+    or ``None`` when the corpus has no meaningful share of exact copies
+    (approx_count_distinct probe; the 1.5 cutoff mirrors dedup.py's
+    ``_has_exact_copies`` — below it the bounded ~c^2 penalty is cheaper
+    than the collapse overhead, and the sketch's ~2% error is absorbed)."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(k) for k in extra_keys]
+    stats = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.struct(*keys, F.col("embedding"))).alias("nd"),
+    ).head()
+    if stats["n"] < 1.5 * max(stats["nd"], 1):
+        return None
+    w = Window.partitionBy(*extra_keys, "embedding")
+    with_rep = embeddings.withColumn(
+        "rep_id", F.min("vec_id").over(w)
+    ).localCheckpoint()
+    mapping = with_rep.select("vec_id", "rep_id")
+    reps = with_rep.filter(F.col("vec_id") == F.col("rep_id")).drop("rep_id")
+    return mapping, reps
+
+
+def _expand_vec_pairs(rep_pairs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Expand representative-level (vec_id_a, vec_id_b, cosine_sim) pairs to
+    all member pairs: cross-group pairs inherit the representatives' cosine
+    (identical vectors), intra-group pairs are cos == 1 by construction.
+    Linear in OUTPUT size — the candidate join never saw the copies."""
+    ma = mapping.select(
+        F.col("rep_id").alias("vec_id_a"), F.col("vec_id").alias("_ma")
+    )
+    mb = mapping.select(
+        F.col("rep_id").alias("vec_id_b"), F.col("vec_id").alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "vec_id_a")
+        .join(mb, "vec_id_b")
+        .select(
+            F.least("_ma", "_mb").alias("vec_id_a"),
+            F.greatest("_ma", "_mb").alias("vec_id_b"),
+            "cosine_sim",
+        )
+    )
+    m1 = mapping.select("rep_id", F.col("vec_id").alias("_a"))
+    m2 = mapping.select("rep_id", F.col("vec_id").alias("_b"))
+    intra = (
+        m1.join(m2, "rep_id")
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("vec_id_a"),
+            F.col("_b").alias("vec_id_b"),
+            F.lit(1.0).alias("cosine_sim"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def embed_neardup(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -310,7 +377,14 @@ def _exact_blocked_neardup(
     embeddings: DataFrame, threshold: float, block_col: str
 ) -> DataFrame:
     """Exact cosine pairs inside explicit blocks — correct at any
-    threshold, quadratic in the largest block (small-corpus baseline)."""
+    threshold, quadratic in the largest block (small-corpus baseline).
+    Exact-copy groups are still collapsed first (same-block identical
+    vectors pair at cos == 1 without entering the quadratic join)."""
+    collapsed = _collapse_identical_vectors(embeddings, extra_keys=(block_col,))
+    if collapsed is not None:
+        mapping, reps = collapsed
+        rep_pairs = _exact_blocked_neardup(reps, threshold, block_col)
+        return _expand_vec_pairs(rep_pairs, mapping)
     emb = embeddings.withColumn("_norm", l2_norm("embedding"))
     a = emb.alias("a")
     b = emb.alias("b")
@@ -383,6 +457,14 @@ def lsh_blocked_neardup(
     to ``c18_embed_neardup``."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    collapsed = _collapse_identical_vectors(embeddings)
+    if collapsed is not None:
+        mapping, reps = collapsed
+        rep_pairs = lsh_blocked_neardup(
+            reps, threshold, bucket_length, num_tables, rows_per_table
+        )
+        return _expand_vec_pairs(rep_pairs, mapping)
 
     data = embeddings.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))

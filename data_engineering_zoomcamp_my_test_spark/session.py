@@ -47,6 +47,13 @@ class EngineConfig:
     broadcast_threshold: str = str(64 * 1024 * 1024)
     max_partition_bytes: str = str(128 * 1024 * 1024)
     session_timezone: str = "UTC"
+    # Local mode runs every executor thread inside the driver JVM, whose
+    # default heap (1g) gives ~32 threads ~32 MB each — GC-thrash territory
+    # for wide-row shuffles.  Sized like an executor would be on a cluster;
+    # only effective at JVM launch (getOrCreate reuse keeps the first value).
+    driver_memory: str = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     ui_enabled: bool = False
     extra: dict[str, str] = field(default_factory=dict)
 
@@ -60,6 +67,7 @@ class EngineConfig:
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.sql.autoBroadcastJoinThreshold", self.broadcast_threshold)
             .config("spark.sql.files.maxPartitionBytes", self.max_partition_bytes)
+            .config("spark.driver.memory", self.driver_memory)
             .config("spark.sql.session.timeZone", self.session_timezone)
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.legacy.parquet.nanosAsLong", "true")

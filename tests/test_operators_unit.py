@@ -302,3 +302,61 @@ def test_from_json_validity_detects_malformed(spark):
     assert got[2][1] is False
     assert got[3][1] is False
     assert got[4][1] is False
+
+
+def test_collapse_exact_pairs_differential(spark):
+    """The stats-probed exact-copy collapse must be invisible in results:
+    a copy-heavy corpus (which triggers the probe) produces exactly the
+    pairs the plain plan produces, including J == 1 intra-copy pairs."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    base = [(i, f"s{i % 2}", t) for i, t in enumerate(
+        ["a b c d", "a b c x", "p q r s", "a b c d", "m n o p"] * 4
+    )]
+    docs = spark.createDataFrame(base, "doc_id long, source string, text string")
+
+    plain = token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source", collapse_exact=False
+    )
+    fast = token_jaccard_pairs(docs, threshold=0.5, block_col="source")
+    key = lambda r: (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, plain.collect()))
+
+    # cluster labels must match the no-collapse CC result too
+    expected = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(
+            docs.select("doc_id"), plain, edges_unique=True
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster)
+        for r in dedup_clusters(docs, threshold=0.5, block_col="source").collect()
+    }
+    assert got == expected
+
+
+def test_lsh_candidate_pairs_collapse_differential(spark):
+    """Exact-copy collapse in the banded-LSH candidate generator must be
+    result-invisible on a copy-heavy corpus."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    texts = ["the quick brown fox jumps over a lazy dog today",
+             "the quick brown fox jumps over a lazy cat today",
+             "completely different set of words entirely here now"] * 5
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    plain = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in lsh_candidate_pairs(docs, collapse_exact=False).collect()
+    }
+    fast = {
+        (r.doc_id_a, r.doc_id_b) for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert fast == plain and len(fast) > 0

@@ -186,30 +186,7 @@ def lsh_candidate_pairs(
     if collapse_exact and _has_exact_copies(docs, None):
         mapping, reps = _collapse_exact(docs, None)
         rep_pairs = lsh_candidate_pairs(reps, jvm=jvm, collapse_exact=False)
-        ma = mapping.select(
-            F.col("rep_id").alias("doc_id_a"), F.col("doc_id").alias("_ma")
-        )
-        mb = mapping.select(
-            F.col("rep_id").alias("doc_id_b"), F.col("doc_id").alias("_mb")
-        )
-        cross = (
-            rep_pairs.join(ma, "doc_id_a")
-            .join(mb, "doc_id_b")
-            .select(
-                F.least("_ma", "_mb").alias("doc_id_a"),
-                F.greatest("_ma", "_mb").alias("doc_id_b"),
-            )
-        )
-        m1 = mapping.select("rep_id", F.col("doc_id").alias("_a"))
-        m2 = mapping.select("rep_id", F.col("doc_id").alias("_b"))
-        intra = (
-            m1.join(m2, "rep_id")
-            .where(F.col("_a") < F.col("_b"))
-            .select(
-                F.col("_a").alias("doc_id_a"), F.col("_b").alias("doc_id_b")
-            )
-        )
-        return cross.unionByName(intra)
+        return _expand_pairs(rep_pairs, mapping)
     bands = minhash_bands_jvm(docs) if jvm else minhash_bands(docs)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -280,12 +257,19 @@ def _collapse_exact(
     return mapping, reps
 
 
-def _expand_pairs(rep_pairs: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Expand representative-level Jaccard pairs back to all doc pairs:
-    cross-group pairs inherit the representatives' jaccard (identical texts
-    have identical token sets); intra-group pairs are J == 1 by construction.
+def _expand_pairs(
+    rep_pairs: DataFrame,
+    mapping: DataFrame,
+    val_col: str | None = None,
+    intra_val: "F.Column | None" = None,
+) -> DataFrame:
+    """Expand representative-level pairs back to all doc pairs: cross-group
+    pairs inherit the representatives' similarity value (copies are
+    identical, so the value is theirs too); intra-group pairs get
+    ``intra_val`` (J == 1, cos == 1, hamming == 0 — identity similarity).
     Linear in OUTPUT size — the quadratic candidate join never sees copies.
     """
+    vals = [val_col] if val_col else []
     ma = mapping.select(
         F.col("rep_id").alias("doc_id_a"), F.col("doc_id").alias("_ma")
     )
@@ -298,7 +282,7 @@ def _expand_pairs(rep_pairs: DataFrame, mapping: DataFrame) -> DataFrame:
         .select(
             F.least("_ma", "_mb").alias("doc_id_a"),
             F.greatest("_ma", "_mb").alias("doc_id_b"),
-            "jaccard",
+            *vals,
         )
     )
     m1 = mapping.select("rep_id", F.col("doc_id").alias("_a"))
@@ -309,7 +293,7 @@ def _expand_pairs(rep_pairs: DataFrame, mapping: DataFrame) -> DataFrame:
         .select(
             F.col("_a").alias("doc_id_a"),
             F.col("_b").alias("doc_id_b"),
-            F.lit(1.0).alias("jaccard"),
+            *([intra_val.alias(val_col)] if val_col else []),
         )
     )
     return cross.unionByName(intra)
@@ -349,7 +333,7 @@ def token_jaccard_pairs(
         rep_pairs = token_jaccard_pairs(
             reps, threshold, block_col, collapse_exact=False
         )
-        return _expand_pairs(rep_pairs, mapping)
+        return _expand_pairs(rep_pairs, mapping, "jaccard", F.lit(1.0))
     blk = [block_col] if block_col else []
     base = docs.select(
         "doc_id",
@@ -532,7 +516,10 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding with a **guaranteed-recall** band
     count: a pair within ``max_hamming`` bits can spread its differing bits
@@ -554,6 +541,17 @@ def simhash_near_pairs(
         )
     if 64 % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide 64")
+    # Exact-copy collapse (stats probe): identical texts hash to identical
+    # fingerprints, which collide in EVERY band bucket — c copies cost c^2
+    # per bucket AND c redundant signature computations. Representatives
+    # carry the pair search; copies re-attach with hamming 0 intra-group
+    # and their rep's hamming cross-group (identical fingerprint).
+    if collapse_exact and _has_exact_copies(docs, None):
+        mapping, reps = _collapse_exact(docs, None)
+        rep_pairs = _simhash_band_pairs(simhash(reps), max_hamming, n_bands)
+        return _expand_pairs(
+            rep_pairs, mapping, "hamming", F.lit(0).cast("int")
+        )
     return _simhash_band_pairs(simhash(docs), max_hamming, n_bands)
 
 

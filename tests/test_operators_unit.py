@@ -360,3 +360,24 @@ def test_lsh_candidate_pairs_collapse_differential(spark):
         (r.doc_id_a, r.doc_id_b) for r in lsh_candidate_pairs(docs).collect()
     }
     assert fast == plain and len(fast) > 0
+
+
+def test_simhash_pairs_collapse_differential(spark):
+    """Fingerprint-level exact-copy collapse in SimHash banding must be
+    result-invisible, including the hamming values."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    texts = ["the quick brown fox jumps over a lazy dog today",
+             "the quick brown fox jumps over a lazy dog tonight",
+             "completely different set of words entirely here now"] * 5
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    key = lambda r: (r.doc_id_a, r.doc_id_b, r.hamming)  # noqa: E731
+    plain = sorted(
+        map(key, simhash_near_pairs(docs, collapse_exact=False).collect())
+    )
+    fast = sorted(map(key, simhash_near_pairs(docs).collect()))
+    assert fast == plain and len(fast) > 0

@@ -71,15 +71,28 @@ def b3_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cutoff = ts_lit(li, "l_shipdate", "2001-09-02")
     disc_price = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
-    charge = disc_price * (F.lit(1) + money("l_tax"))
+    # charge keeps its rate factors at DECIMAL(4,2) (rates are 2-decimal
+    # values < 10, so the casts are exact): the 3-factor product then fits
+    # precision 28 in every engine. Chaining from the wide disc_price would
+    # exceed DECIMAL(38) and force a scale-reduction rounding that DuckDB
+    # resolves differently — a 1-ulp sum divergence at the sf1 sweep.
+    disc_f = (F.lit(1) - money("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + money("l_tax")).cast("decimal(4,2)")
+    charge = money("l_extendedprice") * disc_f * tax_f
     return (
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dmoney_sum(money("l_quantity"), "sum_qty"),
             dmoney_sum(money("l_extendedprice"), "sum_base_price"),
-            dmoney_sum(disc_price, "sum_disc_price"),
-            dmoney_sum(charge, "sum_charge"),
+            # Wide-scale sums round to the 2-decimal money grain BEFORE the
+            # double cast: past ~2^53 unscaled units, engines convert
+            # high-scale decimals to double differently (DuckDB divides two
+            # doubles, Spark rounds the BigDecimal) — a 1-ulp divergence
+            # first seen at the sf1 sweep. At scale 2 the conversion is
+            # exact-integer / 100, correctly rounded everywhere.
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             money_avg(money("l_quantity"), "avg_qty"),
             money_avg(money("l_extendedprice"), "avg_price"),
             money_avg(money("l_discount"), "avg_disc"),
@@ -707,8 +720,10 @@ ORACLE = {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS {_MONEY})) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS {_MONEY})) AS DOUBLE) AS sum_base_price,
-               CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM({_REV} * (1 + CAST(l_tax AS {_MONEY}))) AS DOUBLE) AS sum_charge,
+               CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS {_MONEY})
+                        * CAST(1 - CAST(l_discount AS {_MONEY}) AS DECIMAL(4,2))
+                        * CAST(1 + CAST(l_tax AS {_MONEY}) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS {_MONEY})) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS {_MONEY})) AS DOUBLE) / COUNT(*) AS avg_price,
                CAST(SUM(CAST(l_discount AS {_MONEY})) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -29,11 +29,17 @@ class CompareResult:
 
 
 def _duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are directories of part files; DuckDB needs
+        # the glob form for those (driver testdata is single-file).
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
         )
     return con
 

@@ -31,6 +31,18 @@ def dmoney_sum(col: Column, alias: str) -> Column:
     return F.sum(col).cast("double").alias(alias)
 
 
+def dmoney_sum_grain(col: Column, alias: str) -> Column:
+    """Exact decimal SUM rounded to the 2-decimal money grain before the
+    DOUBLE cast. Use for sums of DECIMAL *products* (scale 4+) over groups
+    whose magnitude grows with data size: past ~2^53 unscaled units,
+    engines convert high-scale decimals to double differently (DuckDB by
+    double division, Spark by BigDecimal rounding — 1 ulp apart, first
+    seen in b3's sum_charge at sf1). At scale 2 the conversion is
+    exact-integer / 100, correctly rounded in every engine. The matching
+    oracle SQL must apply ROUND(SUM(...), 2) the same way."""
+    return F.round(F.sum(col), 2).cast("double").alias(alias)
+
+
 def cents(col: Column | str, scale: int = 100) -> Column:
     """Exact integer sub-units (LONG) of a monetary double.
 

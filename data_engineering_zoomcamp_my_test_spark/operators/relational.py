@@ -29,7 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exprs import cents, cents_sum, dmoney_sum, money, money_avg, ts_lit
+from ..functions.exprs import (
+    cents,
+    cents_sum,
+    dmoney_sum,
+    dmoney_sum_grain,
+    money,
+    money_avg,
+    ts_lit,
+)
 from ..sources.tables import load_table, register_tables
 
 
@@ -168,7 +176,7 @@ def b7_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(dmoney_sum(rev, "revenue"))
+        .agg(dmoney_sum_grain(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -267,7 +275,7 @@ def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(dmoney_sum(rev, "revenue"), F.count(F.lit(1)).alias("n"))
+        .agg(dmoney_sum_grain(rev, "revenue"), F.count(F.lit(1)).alias("n"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -619,7 +627,7 @@ def b34_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(dmoney_sum(rev, "revenue"))
+        .agg(dmoney_sum_grain(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -655,7 +663,7 @@ def b36_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dmoney_sum(rev, "revenue"))
+        .agg(dmoney_sum_grain(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -745,7 +753,7 @@ ORACLE = {
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "b7_join_multiway": f"""
-        SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        SELECT n_name, CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -789,7 +797,7 @@ ORACLE = {
     "b12_subq_scalar": _B12_SQL,
     "b13_rollup": f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n
+               CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue, COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -956,7 +964,7 @@ ORACLE = {
         FROM part
     """,
     "b34_q3_shipping_priority": f"""
-        SELECT l_orderkey, o_orderpriority, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        SELECT l_orderkey, o_orderpriority, CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -978,7 +986,7 @@ ORACLE = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "b36_q10_returned_items": f"""
-        SELECT c_custkey, c_name, n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        SELECT c_custkey, c_name, n_name, CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,60 @@
+"""Time EVERY declared query once (warm session) and print one JSON line.
+
+The headline bench (bench.py) is the driver-recorded contract; this sweep is
+the maintenance tool behind BASELINE.md's full-catalog tables — run it after
+infra changes to catch regressions in non-headline decls, and at generated
+scale factors to extend the scale story:
+
+    python tools/sweep.py                                   # sf0.1
+    SPARK_GRAFT_SF_DIR=testdata_sf1 python tools/sweep.py   # any sf dir
+
+Exit status is nonzero if any query errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+from data_engineering_zoomcamp_my_test_spark.session import EngineConfig, get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        EngineConfig(
+            master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="sweep"
+        )
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    queries["b3_groupby_agg"](spark, "/root/testdata/sf0.001").count()  # warm
+
+    timings: dict[str, float | str] = {}
+    failed = False
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # surface, keep sweeping
+            timings[name] = f"ERR: {str(exc)[:120]}"
+            failed = True
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 1)
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "total_sec": total, "n": len(timings), "queries": timings}
+        )
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,11 @@ _PRIORITY = (
     # batch at a time.  r2 seated c36/c43/c46, r3 seated c32/c49/c51 — all
     # six are driver-green and rotated out.  r4 seats the first seven
     # exact-oracle never-checked decls in VERDICT r3's priority order.
+    # Round 5 plan: once these are driver-green, rotate them out and seat
+    # the next seven in priority order: c23_asof_join, c24_percentiles,
+    # c25_histogram, c26_sample, c34_rolling_1h, c35_grouped_zscore,
+    # c37_tfidf_top_term (then c40-c42/c44/c47/c50/c52/c55, then
+    # c14-c16/c20/c30/c31/c38/c39/c18, then the rows-only decls).
     "b31_pivot", "b32_unpivot", "b37_cube", "b38_explode",
     "b42_filter_agg", "b43_grouping_sets", "c22_hourly_top_event",
 )

@@ -304,6 +304,7 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     collapse_exact: bool = True,
+    tokens: "F.Column | None" = None,
 ) -> DataFrame:
     """Exact token-set Jaccard >= ``threshold`` pairs, with **stats-adaptive
     plan selection** (the operator-level analogue of Catalyst's stats-based
@@ -331,14 +332,21 @@ def token_jaccard_pairs(
     if collapse_exact and _has_exact_copies(docs, block_col):
         mapping, reps = _collapse_exact(docs, block_col)
         rep_pairs = token_jaccard_pairs(
-            reps, threshold, block_col, collapse_exact=False
+            reps, threshold, block_col, collapse_exact=False, tokens=tokens
         )
         return _expand_pairs(rep_pairs, mapping, "jaccard", F.lit(1.0))
     blk = [block_col] if block_col else []
+    # ``tokens`` swaps the set elements (default: distinct word tokens) for
+    # any other deterministic set expression — e.g. 3-gram shingles for the
+    # word-order-sensitive n-gram Jaccard variant (c56). Identical text
+    # still implies identical sets, so the exact-copy collapse above holds.
+    toks_expr = (
+        tokens if tokens is not None else F.array_distinct(F.split("text", " "))
+    )
     base = docs.select(
         "doc_id",
         *blk,
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+        toks_expr.alias("toks"),
     ).withColumn("n_tok", F.size("toks"))
     # Two-step plan probe, cheap in the big-corpus case: first scan a
     # bounded document sample — if IT already exceeds 64 distinct tokens,
@@ -1016,6 +1024,25 @@ def c46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram (shingle) Jaccard >= 0.4 pairs — the word-order-
+    sensitive n-gram variant of c17's token Jaccard: "a b c" and "c b a"
+    share all tokens (token-J == 1) but no 3-gram. Same stats-adaptive
+    pair engine (exact-copy collapse, prefix-filter/bitset plan, blocked
+    by source); only the set elements change, via ``tokens=``. Shingle
+    vocabularies are huge by construction, so this always takes the
+    prefix-filter plan — rare shingles are even more selective than rare
+    tokens, which is why shingle Jaccard is the standard near-dup
+    similarity for web-crawl dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(
+        docs,
+        threshold=0.4,
+        block_col="source",
+        tokens=F.expr(_SHINGLE_SET_EXPR),
+    )
+
+
 def c47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment from a content hash — the
     reproducible split a training pipeline needs (no RNG, no state: the
@@ -1046,6 +1073,7 @@ QUERIES = {
     "c43_keep_best_per_cluster": c43_keep_best_per_cluster,
     "c46_decontaminate": c46_decontaminate,
     "c47_hash_split": c47_hash_split,
+    "c56_ngram_jaccard_pairs": c56_ngram_jaccard_pairs,
 }
 
 _JACCARD_EDGES_SQL = """
@@ -1194,6 +1222,30 @@ ORACLE = {
         SELECT doc_id, source, COUNT(*) AS n_shared_shingles
         FROM corp JOIN test USING (sh)
         GROUP BY doc_id, source
+    """,
+    "c56_ngram_jaccard_pairs": """
+        WITH sh AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS tok
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.source = b.source
+          GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.4
     """,
     "c47_hash_split": """
         SELECT doc_id, source,

@@ -51,19 +51,18 @@ _PRIORITY = (
     "c7_tumbling", "c8_sliding",
     "c9_session",
     "c10_json_extract",
-    # Rotation slots (round 4): the 43 decls above are SURVEY-mandated and
+    # Rotation slots (round 5): the 43 decls above are SURVEY-mandated and
     # pinned; the remaining 7 window seats rotate each round to decls that
     # have never had a driver correctness row, retiring residual risk one
-    # batch at a time.  r2 seated c36/c43/c46, r3 seated c32/c49/c51 — all
-    # six are driver-green and rotated out.  r4 seats the first seven
-    # exact-oracle never-checked decls in VERDICT r3's priority order.
-    # Round 5 plan: once these are driver-green, rotate them out and seat
-    # the next seven in priority order: c23_asof_join, c24_percentiles,
-    # c25_histogram, c26_sample, c34_rolling_1h, c35_grouped_zscore,
-    # c37_tfidf_top_term (then c40-c42/c44/c47/c50/c52/c55, then
+    # batch at a time.  r2 seated c36/c43/c46, r3 seated c32/c49/c51,
+    # r4 seated b31/b32/b37/b38/b42/b43/c22 — all driver-green and rotated
+    # out.  r5 seats the next seven in VERDICT r4's priority order.
+    # Round 6 plan: once these are driver-green, rotate them out and seat
+    # the next seven: c56_ngram_jaccard_pairs (newest decl, VERDICT r4 #4),
+    # c40_topk_agg, c41, c42, c44, c47, c50 (then c52/c55, then
     # c14-c16/c20/c30/c31/c38/c39/c18, then the rows-only decls).
-    "b31_pivot", "b32_unpivot", "b37_cube", "b38_explode",
-    "b42_filter_agg", "b43_grouping_sets", "c22_hourly_top_event",
+    "c23_asof_join", "c24_percentiles", "c25_histogram", "c26_sample",
+    "c34_rolling_1h", "c35_grouped_zscore", "c37_tfidf_top_term",
 )
 
 

@@ -217,8 +217,8 @@ def test_driver_window_contains_all_mandated_decls():
     # driver correctness row (window position would be wasted otherwise).
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    r4_seats = names[43:]
-    assert len(r4_seats) == 7
+    seats = names[43:]
+    assert len(seats) == 7
     oracles = all_oracle_sql()
-    for s in r4_seats:
+    for s in seats:
         assert s in oracles, f"rotation seat {s} has no exact oracle"

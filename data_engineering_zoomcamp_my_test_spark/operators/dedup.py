@@ -218,11 +218,18 @@ def _has_exact_copies(docs: DataFrame, block_col: str | None) -> bool:
     dominates (42x measured at c = 10). The margin also absorbs
     approx_count_distinct's ~2% error."""
     blk = [F.col(block_col)] if block_col else []
+    # NULL texts are excluded from both counts (count(text) skips NULLs;
+    # the when() feeds approx_count_distinct NULL, which it ignores):
+    # they collapse to singletons and can never produce pairs, so a corpus
+    # whose only "copies" are NULLs must not trigger the collapse.
     row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.concat_ws("\x00", *blk, F.col("text"))).alias(
-            "nd"
-        ),
+        F.count(F.col("text")).alias("n"),
+        F.approx_count_distinct(
+            F.when(
+                F.col("text").isNotNull(),
+                F.concat_ws("\x00", *blk, F.col("text")),
+            )
+        ).alias("nd"),
     ).head()
     return row["n"] >= 1.5 * max(row["nd"], 1)
 
@@ -244,13 +251,24 @@ def _collapse_exact(
     document has c exact copies pays c^2 x the candidate-join work for
     information the group structure already contains (measured 11-16x
     wall-clock at sf1, where the scale generator makes c = 10).
+
+    NULL-text rows are singleton groups (rep_id = own doc_id), NOT one
+    shared NULL group: SQL window partitioning groups NULLs together, but
+    the non-collapsed pair plans all *drop* NULL texts (null tokens /
+    signatures never join), so a shared group would invent intra identity
+    pairs the plain plan never emits. As singletons they pass through to
+    the underlying plan, which drops them identically either way —
+    preserving the result-invisibility contract.
     """
     from pyspark.sql.window import Window
 
     blk = [block_col] if block_col else []
     w = Window.partitionBy(*blk, "text")
     with_rep = docs.withColumn(
-        "rep_id", F.min("doc_id").over(w)
+        "rep_id",
+        F.when(F.col("text").isNull(), F.col("doc_id")).otherwise(
+            F.min("doc_id").over(w)
+        ),
     ).localCheckpoint()
     mapping = with_rep.select("doc_id", "rep_id")
     reps = with_rep.filter(F.col("doc_id") == F.col("rep_id")).drop("rep_id")

@@ -279,6 +279,22 @@ def c45_lsh_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn_batch(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _pairable_vectors(embeddings: DataFrame) -> DataFrame:
+    """Drop rows that can never produce a cosine pair: NULL embeddings
+    (null never joins/compares) and zero-norm embeddings (cosine is
+    0/0 — undefined; under Spark's default ANSI mode the division would
+    raise DIVIDE_BY_ZERO at runtime rather than yield a filterable NaN).
+
+    Applied at the top of every pairwise operator so the contract is
+    plan-invariant: with or without exact-copy collapse, unpairable rows
+    simply never appear in the output (ADVICE r4 — previously the
+    collapse path could invent cos == 1 intra pairs for identical NULL /
+    zero vectors the plain path would have crashed on or dropped)."""
+    return embeddings.filter(
+        F.col("embedding").isNotNull() & (l2_norm("embedding") > 0)
+    )
+
+
 def _collapse_identical_vectors(
     embeddings: DataFrame, extra_keys: tuple[str, ...] = ()
 ) -> tuple[DataFrame, DataFrame] | None:
@@ -293,7 +309,13 @@ def _collapse_identical_vectors(
     or ``None`` when the corpus has no meaningful share of exact copies
     (approx_count_distinct probe; the 1.5 cutoff mirrors dedup.py's
     ``_has_exact_copies`` — below it the bounded ~c^2 penalty is cheaper
-    than the collapse overhead, and the sketch's ~2% error is absorbed)."""
+    than the collapse overhead, and the sketch's ~2% error is absorbed).
+
+    Callers must pre-filter to pairable rows (``_pairable_vectors``):
+    NULL/zero-norm embeddings can never produce pairs, and excluding them
+    here keeps the probe honest — a corpus whose only "copies" are
+    unpairable rows must not trigger (or infinitely re-trigger) the
+    collapse."""
     from pyspark.sql.window import Window
 
     keys = [F.col(k) for k in extra_keys]
@@ -380,6 +402,7 @@ def _exact_blocked_neardup(
     threshold, quadratic in the largest block (small-corpus baseline).
     Exact-copy groups are still collapsed first (same-block identical
     vectors pair at cos == 1 without entering the quadratic join)."""
+    embeddings = _pairable_vectors(embeddings)
     collapsed = _collapse_identical_vectors(embeddings, extra_keys=(block_col,))
     if collapsed is not None:
         mapping, reps = collapsed
@@ -458,6 +481,7 @@ def lsh_blocked_neardup(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    embeddings = _pairable_vectors(embeddings)
     collapsed = _collapse_identical_vectors(embeddings)
     if collapsed is not None:
         mapping, reps = collapsed

@@ -339,6 +339,104 @@ def test_collapse_exact_pairs_differential(spark):
     assert got == expected
 
 
+def test_collapse_null_text_rows_differential(spark):
+    """Collapse must stay result-invisible on corpora with NULL texts:
+    the non-collapsed plans drop NULL-text rows (null tokens never join),
+    so the collapse must NOT group the NULLs and invent J == 1 intra
+    pairs for them (ADVICE r4). Copy-heavy so the stats probe fires."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    texts = ["the quick brown fox jumps over a lazy dog today",
+             "the quick brown fox jumps over a lazy cat today",
+             "", None, None] * 4  # empty strings group in BOTH plans
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+
+    key = lambda r: (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))  # noqa: E731
+    plain = sorted(map(key, token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source", collapse_exact=False
+    ).collect()))
+    fast = sorted(map(key, token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source"
+    ).collect()))
+    assert fast == plain and len(fast) > 0
+    null_ids = {i for i, t in enumerate(texts) if t is None}
+    assert all(
+        a not in null_ids and b not in null_ids for a, b, _ in fast
+    )
+
+    pairs_plain = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in lsh_candidate_pairs(docs, collapse_exact=False).collect()
+    }
+    pairs_fast = {
+        (r.doc_id_a, r.doc_id_b) for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert pairs_fast == pairs_plain
+
+    sh_key = lambda r: (r.doc_id_a, r.doc_id_b, r.hamming)  # noqa: E731
+    sh_plain = sorted(
+        map(sh_key, simhash_near_pairs(docs, collapse_exact=False).collect())
+    )
+    sh_fast = sorted(map(sh_key, simhash_near_pairs(docs).collect()))
+    assert sh_fast == sh_plain
+
+
+def test_collapse_zero_and_null_vector_differential(spark):
+    """Vector twin of the NULL-text test: NULL and zero-norm embeddings
+    are unpairable by contract (cosine undefined; ANSI mode would raise
+    DIVIDE_BY_ZERO) and must appear in NO pair, under BOTH plans — the
+    collapse must not invent cos == 1 intra pairs for them (ADVICE r4),
+    and the plain plan must not crash on the zero division."""
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        embed_neardup,
+    )
+
+    def corpus(n_copies):
+        rows = []
+        vid = 0
+        for i in range(n_copies):  # exact copies: trigger/skip the probe
+            rows.append((vid, "b0", [1.0, 2.0, 3.0, 4.0])); vid += 1
+        for i in range(4):  # distinct fillers
+            rows.append((vid, "b0", [0.1 * i + 1, 2.0, 3.0, 4.0])); vid += 1
+        zero_null = []
+        for _ in range(3):  # identical zero-norm and NULL embeddings
+            rows.append((vid, "b0", [0.0, 0.0, 0.0, 0.0]))
+            zero_null.append(vid); vid += 1
+            rows.append((vid, "b0", None))
+            zero_null.append(vid); vid += 1
+        copies = list(range(n_copies))
+        return (
+            spark.createDataFrame(
+                rows, "vec_id long, block string, embedding array<double>"
+            ),
+            copies,
+            set(zero_null),
+        )
+
+    # copy-heavy (probe fires -> collapse plan) and copy-free (plain plan)
+    for n_copies in (8, 1):
+        emb, copies, bad_ids = corpus(n_copies)
+        got = {
+            (r.vec_id_a, r.vec_id_b, round(r.cosine_sim, 6))
+            for r in embed_neardup(
+                emb, threshold=0.9, block_col="block"
+            ).collect()
+        }
+        assert all(
+            a not in bad_ids and b not in bad_ids for a, b, _ in got
+        ), f"unpairable rows leaked into pairs (n_copies={n_copies})"
+        expected_intra = {
+            (a, b, 1.0) for a in copies for b in copies if a < b
+        }
+        assert expected_intra <= got, f"missing copy pairs (n_copies={n_copies})"
+
+
 def test_lsh_candidate_pairs_collapse_differential(spark):
     """Exact-copy collapse in the banded-LSH candidate generator must be
     result-invisible on a copy-heavy corpus."""

@@ -31,6 +31,24 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _default_driver_memory() -> str:
+    """16g, clamped to half the detected system RAM (floor 1g).
+
+    SPARK_GRAFT_DRIVER_MEM overrides unconditionally. The clamp keeps the
+    local-mode JVM launchable on small hosts; on cluster deployments the
+    driver/executor memory comes from submit-time conf, not this default.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "16g"
+    half_gib = max(1, int(total / (2 * 1024**3)))
+    return f"{min(16, half_gib)}g"
+
+
 @dataclass
 class EngineConfig:
     """Engine-level knobs. Everything here scales: nothing hard-codes a
@@ -49,11 +67,11 @@ class EngineConfig:
     session_timezone: str = "UTC"
     # Local mode runs every executor thread inside the driver JVM, whose
     # default heap (1g) gives ~32 threads ~32 MB each — GC-thrash territory
-    # for wide-row shuffles.  Sized like an executor would be on a cluster;
+    # for wide-row shuffles.  Sized like an executor would be on a cluster,
+    # but clamped to half the detected system RAM so small hosts don't fail
+    # JVM launch / get OOM-killed (SPARK_GRAFT_DRIVER_MEM overrides both);
     # only effective at JVM launch (getOrCreate reuse keeps the first value).
-    driver_memory: str = field(
-        default_factory=lambda: os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    )
+    driver_memory: str = field(default_factory=lambda: _default_driver_memory())
     ui_enabled: bool = False
     extra: dict[str, str] = field(default_factory=dict)
 

@@ -144,3 +144,30 @@ def test_compact_parquet_roundtrip_empty_subdirless(spark, tmp_path):
     n = compact_parquet(spark, path)
     assert n == 1
     assert spark.read.parquet(path).count() == 10
+
+
+def test_default_driver_memory_clamped(monkeypatch):
+    """The local-mode driver heap default adapts to the host: half of
+    system RAM, capped at 16g, floored at 1g; env var wins (ADVICE r4)."""
+    from data_engineering_zoomcamp_my_test_spark import session as s
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    got = s._default_driver_memory()
+    assert got.endswith("g") and 1 <= int(got[:-1]) <= 16
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert s._default_driver_memory() == "3g"
+
+    # small-host simulation: 2 GiB total RAM -> 1g, JVM stays launchable
+    real_sysconf = s.os.sysconf
+    monkeypatch.setattr(
+        s.os,
+        "sysconf",
+        lambda name: (
+            2 * 1024**3 // 4096 if name == "SC_PHYS_PAGES"
+            else 4096 if name == "SC_PAGE_SIZE"
+            else real_sysconf(name)
+        ),
+    )
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    assert s._default_driver_memory() == "1g"

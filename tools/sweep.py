@@ -34,7 +34,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    queries["b3_groupby_agg"](spark, "/root/testdata/sf0.001").count()  # warm
+    # Warm the JVM/codegen caches against the smallest data available;
+    # prefer the tiny sf0.001 set, fall back to the sweep target so the
+    # tool works on machines without /root/testdata (ADVICE r4).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    queries["b3_groupby_agg"](spark, warm_dir).count()
 
     timings: dict[str, float | str] = {}
     failed = False

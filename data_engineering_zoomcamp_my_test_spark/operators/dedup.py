@@ -323,6 +323,8 @@ def token_jaccard_pairs(
     block_col: str | None = None,
     collapse_exact: bool = True,
     tokens: "F.Column | None" = None,
+    output: str = "pairs",
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard >= ``threshold`` pairs, with **stats-adaptive
     plan selection** (the operator-level analogue of Catalyst's stats-based
@@ -346,13 +348,62 @@ def token_jaccard_pairs(
     representatives only, and expands the result back to all doc pairs —
     identical output, but the candidate join never goes quadratic in the
     exact-copy count (see ``_collapse_exact``).
+
+    **Scale safety valve** (the pair LIST is inherently quadratic in the
+    exact-copy count — 4.47B pairs at sf10 copy-ratio 10, measured):
+
+    - ``output="count"`` returns one row ``(n_pairs)`` — on copy-heavy
+      corpora the count is computed ARITHMETICALLY from group sizes
+      (sum sz*(sz-1)/2 intra + sum sz_a*sz_b over rep pairs), so nothing
+      quadratic is ever materialized, not even inside the engine.
+    - ``output="clusters"`` returns the linear cluster-handle formulation
+      ``(doc_id, cluster)`` instead of the pair list (same result as
+      :func:`dedup_clusters`): the right consumable at 100 TB.
+    - ``max_pairs=N`` bounds a ``"pairs"`` result to N rows (arbitrary
+      subset — an inspection/sampling cap, not a top-k).
+
+    Default (``output="pairs"``, ``max_pairs=None``) is unchanged and
+    oracle-checked.
     """
+    if output not in ("pairs", "count", "clusters"):
+        raise ValueError(f"output must be pairs|count|clusters, got {output!r}")
+    if output == "clusters":
+        return dedup_clusters(
+            docs, threshold=threshold, block_col=block_col, tokens=tokens
+        )
     if collapse_exact and _has_exact_copies(docs, block_col):
         mapping, reps = _collapse_exact(docs, block_col)
         rep_pairs = token_jaccard_pairs(
             reps, threshold, block_col, collapse_exact=False, tokens=tokens
         )
-        return _expand_pairs(rep_pairs, mapping, "jaccard", F.lit(1.0))
+        if output == "count":
+            sizes = mapping.groupBy("rep_id").agg(F.count(F.lit(1)).alias("sz"))
+            # NULL-text singletons have sz == 1 -> contribute 0 intra pairs
+            intra = sizes.select(
+                (F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("n")
+            )
+            cross = (
+                rep_pairs.join(
+                    sizes.select(
+                        F.col("rep_id").alias("doc_id_a"),
+                        F.col("sz").alias("_sa"),
+                    ),
+                    "doc_id_a",
+                )
+                .join(
+                    sizes.select(
+                        F.col("rep_id").alias("doc_id_b"),
+                        F.col("sz").alias("_sb"),
+                    ),
+                    "doc_id_b",
+                )
+                .select((F.col("_sa") * F.col("_sb")).cast("long").alias("n"))
+            )
+            return intra.unionByName(cross).agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_pairs")
+            )
+        expanded = _expand_pairs(rep_pairs, mapping, "jaccard", F.lit(1.0))
+        return expanded.limit(max_pairs) if max_pairs is not None else expanded
     blk = [block_col] if block_col else []
     # ``tokens`` swaps the set elements (default: distinct word tokens) for
     # any other deterministic set expression — e.g. 3-gram shingles for the
@@ -376,13 +427,19 @@ def token_jaccard_pairs(
         base.limit(2048).select(F.explode("toks").alias("tok")).distinct().take(65)
     )
     if len(sample_vocab) > 64:
-        return _jaccard_pairs_prefix(base, threshold, block_col)
-    vocab = [
-        r[0] for r in base.select(F.explode("toks").alias("tok")).distinct().take(65)
-    ]
-    if len(vocab) <= 64:
-        return _jaccard_pairs_bitset(base, sorted(vocab), threshold, block_col)
-    return _jaccard_pairs_prefix(base, threshold, block_col)
+        pairs = _jaccard_pairs_prefix(base, threshold, block_col)
+    else:
+        vocab = [
+            r[0]
+            for r in base.select(F.explode("toks").alias("tok")).distinct().take(65)
+        ]
+        if len(vocab) <= 64:
+            pairs = _jaccard_pairs_bitset(base, sorted(vocab), threshold, block_col)
+        else:
+            pairs = _jaccard_pairs_prefix(base, threshold, block_col)
+    if output == "count":
+        return pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return pairs.limit(max_pairs) if max_pairs is not None else pairs
 
 
 def _jaccard_pairs_bitset(
@@ -847,7 +904,10 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, threshold: float = 0.5, block_col: str | None = "source"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str | None = "source",
+    tokens: "F.Column | None" = None,
 ) -> DataFrame:
     """Near-dup clustering: token-Jaccard pairs -> connected components ->
     (doc_id, cluster) where cluster is the min doc_id reachable; docs in no
@@ -864,14 +924,22 @@ def dedup_clusters(
     skip the collapse and run CC on the docs directly."""
     if not _has_exact_copies(docs, block_col):
         pairs = token_jaccard_pairs(
-            docs, threshold=threshold, block_col=block_col, collapse_exact=False
+            docs,
+            threshold=threshold,
+            block_col=block_col,
+            collapse_exact=False,
+            tokens=tokens,
         )
         return connected_components(
             docs.select("doc_id"), pairs, edges_unique=True
         )
     mapping, reps = _collapse_exact(docs, block_col)
     rep_pairs = token_jaccard_pairs(
-        reps, threshold=threshold, block_col=block_col, collapse_exact=False
+        reps,
+        threshold=threshold,
+        block_col=block_col,
+        collapse_exact=False,
+        tokens=tokens,
     )
     rep_clusters = connected_components(
         reps.select("doc_id"), rep_pairs, edges_unique=True
@@ -1061,6 +1129,21 @@ def c56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c57_jaccard_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale safety valve for the pair-list decls (c17/c56): the exact
+    number of qualifying token-Jaccard pairs WITHOUT materializing the
+    pair list. On copy-heavy corpora the count derives arithmetically
+    from exact-copy group sizes plus representative-level pairs
+    (``token_jaccard_pairs(output="count")``) — nothing quadratic runs,
+    making this the bounded way to ask "how much near-duplication does
+    this corpus contain" at 100 TB (where c17's list contract measured
+    4.47B rows / 366 s at sf10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source", output="count"
+    )
+
+
 def c47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment from a content hash — the
     reproducible split a training pipeline needs (no RNG, no state: the
@@ -1092,6 +1175,7 @@ QUERIES = {
     "c46_decontaminate": c46_decontaminate,
     "c47_hash_split": c47_hash_split,
     "c56_ngram_jaccard_pairs": c56_ngram_jaccard_pairs,
+    "c57_jaccard_pair_count": c57_jaccard_pair_count,
 }
 
 _JACCARD_EDGES_SQL = """
@@ -1271,5 +1355,9 @@ ORACLE = {
                     WHEN substring(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "c57_jaccard_pair_count": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM ({_JACCARD_EDGES_SQL}) edges
     """,
 }

@@ -54,3 +54,29 @@ def test_salted_join_matches_plain(spark):
         .collect()
     )
     assert salted == plain
+
+
+def test_topk_agg_arms_identical_and_window_arm_group_limited(spark):
+    """r5: top_k_per_group_agg dispatches by a hot-key probe. Both physical
+    arms must return identical rows, and the window arm's plan must carry
+    WindowGroupLimit (bounded pre-shuffle state, the point of the arm)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        top_k_per_group_agg,
+    )
+
+    rows = [(g, float(100 + (g * 7 + i) % 50), g * 1000 + i)
+            for g in range(40) for i in range(1 + (g % 5))]
+    rows += [(99, float(i % 37), 99_000 + i) for i in range(400)]  # hot group
+    df = spark.createDataFrame(rows, "grp long, val double, id long")
+
+    salted = top_k_per_group_agg(df, "grp", "val", "id", 3, n_salt=8)
+    probed = top_k_per_group_agg(df, "grp", "val", "id", 3)  # probe -> window
+    key = lambda r: (r.grp, r.rn, r.id, r.val)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, probed.collect()))
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # forcing the hot arm via a tiny threshold must not change results
+    hot = top_k_per_group_agg(df, "grp", "val", "id", 3, hot_group_rows=10)
+    assert sorted(map(key, hot.collect())) == sorted(map(key, probed.collect()))

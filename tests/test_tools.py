@@ -1,0 +1,76 @@
+"""Round-ritual / perf-gate tooling (VERDICT r4 #6): the gate and sweep diff
+are part of the round ritual, so their comparison logic is pinned here —
+no Spark session needed."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(mod_name: str):
+    spec = importlib.util.spec_from_file_location(
+        mod_name, os.path.join(REPO, "tools", f"{mod_name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sweep_snapshot_committed_and_covers_catalog():
+    snap_path = os.path.join(REPO, "tools", "sweep_baseline.json")
+    assert os.path.exists(snap_path), "ritual snapshot must be committed"
+    snap = json.load(open(snap_path))
+    sys.path.insert(0, REPO)
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+    catalog = set(all_queries())
+    snapped = set(snap["queries"])
+    # Every declared query has a snapshot row (new decls are allowed to lag
+    # one ritual run, but the committed state should be in sync).
+    assert catalog == snapped, (
+        f"snapshot out of sync: missing {sorted(catalog - snapped)}, "
+        f"stale {sorted(snapped - catalog)} — rerun tools/round_ritual.py --refresh"
+    )
+
+
+def test_ritual_diff_flags_only_real_regressions():
+    rr = _load("round_ritual")
+    snap = json.load(open(os.path.join(REPO, "tools", "sweep_baseline.json")))
+
+    # Identical run: no regressions.
+    regs, summary = rr._sweep_diff(json.loads(json.dumps(snap)))
+    assert regs == []
+    assert "0 regression(s)" in summary
+
+    # 4x on a >floor query fires; 4x on a sub-floor query does not.
+    mutated = json.loads(json.dumps(snap))
+    slow = max(snap["queries"], key=lambda k: snap["queries"][k])
+    fast = min(snap["queries"], key=lambda k: snap["queries"][k])
+    mutated["queries"][slow] = snap["queries"][slow] * 4
+    mutated["queries"][fast] = min(snap["queries"][fast] * 4, 0.7)
+    regs, _ = rr._sweep_diff(mutated)
+    assert any(slow in r for r in regs)
+    assert not any(fast in r for r in regs)
+
+    # Mismatched sf_dir: diff declines rather than comparing apples/oranges.
+    other = json.loads(json.dumps(snap))
+    other["sf_dir"] = "/elsewhere/sf9"
+    regs, summary = rr._sweep_diff(other)
+    assert regs == [] and "diff skipped" in summary
+
+
+def test_bench_gate_math():
+    bg = _load("bench_gate")
+    baseline = bg.load_baseline()
+    assert baseline["queries"] and baseline["value"] > 0
+    # The gate reads the round-1 json block; bench.py's headline set must
+    # still cover every baseline query or the gate reports it missing.
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert set(baseline["queries"]) <= set(bench.BENCH_QUERIES)

@@ -258,6 +258,135 @@ def c50_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=128)
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: distinct-token ratio,
+    most-frequent-word fraction, and duplicated-3-gram fraction (share of
+    3-gram instances whose 3-gram occurs more than once in the doc), plus a
+    keep/drop decision — the within-document filter that complements the
+    cross-document dedup family (C1/C2/C6).
+
+    Scale: work is O(total tokens) — no per-document quadratic (the naive
+    ``transform(distinct, w -> count-in-array)`` is O(len^2) per doc, which
+    a 10k-token web page turns into 10^8 comparisons). ONE scan, ONE
+    shuffle, ZERO joins: tokens and 3-grams are tagged into a single
+    exploded (kind, item) stream after an upfront repartition by doc_id, so
+    HashPartitioning(doc_id) satisfies both downstream groupings
+    (``(doc_id, kind, item)`` clusters by a superset of the partition key)
+    and the 3-4x-corpus-bytes exploded stream never crosses the network;
+    the per-doc rollup separates the two kinds with conditional aggregates.
+    Arrays are built JVM-side with ``transform(sequence(...))`` — no
+    Python."""
+    kind = F.col("ki.kind")
+    c = F.col("c")
+    counts = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(concat("
+                " transform(w, t -> named_struct('kind', 't', 'item', t)),"
+                " case when size(w) >= 3 then"
+                "  transform(sequence(0, size(w)-3), i -> named_struct("
+                "   'kind', 'g', 'item',"
+                "   concat(w[i], ' ', w[i+1], ' ', w[i+2])))"
+                " else array() end))"
+            ).alias("ki"),
+        )
+        .groupBy("doc_id", kind.alias("kind"), F.col("ki.item").alias("item"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "t", c)).alias("n_tokens"),
+        F.count(F.when(F.col("kind") == "t", F.lit(1))).alias("n_distinct"),
+        F.max(F.when(F.col("kind") == "t", c)).alias("top_cnt"),
+        F.sum(F.when(F.col("kind") == "g", c)).alias("n_grams"),
+        F.sum(F.when((F.col("kind") == "g") & (c > 1), c)).alias("dup"),
+    )
+    n_tok_d = F.col("n_tokens").cast("double")
+    distinct_ratio = F.col("n_distinct").cast("double") / n_tok_d
+    top_frac = F.col("top_cnt").cast("double") / n_tok_d
+    dup_frac = F.coalesce(
+        F.col("dup").cast("double") / F.col("n_grams").cast("double"), F.lit(0.0)
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_3gram_frac"),
+        ((distinct_ratio >= 0.2) & (top_frac <= 0.3)).alias("keep"),
+    )
+
+
+def c58_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def shard_assign(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training export:
+    every document gets a (shard_id, shard_pos) via a portable Knuth
+    multiplicative hash of its id — the same layout on any cluster, any
+    partitioning, any run, so an export can be resumed/verified shard by
+    shard. The row_number window per shard IS the export shuffle (one
+    shuffle keyed by shard_id); downstream
+    ``write.partitionBy("shard_id")`` turns it into training shards whose
+    order is reproducible without a global sort."""
+    from pyspark.sql.window import Window
+
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard_id", (F.col("h") % n_shards).cast("int"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard_id", "shard_pos")
+    )
+
+
+def c59_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-shard deterministic export layout."""
+    return shard_assign(load_table(spark, sf_dir, "documents"), n_shards=64)
+
+
+def mixture_weights(
+    docs: DataFrame, alpha: float = 0.7, doc_budget: int = 100_000
+) -> DataFrame:
+    """Temperature-scaled source mixing weights: per source, weight
+    proportional to n_tokens^alpha (alpha<1 upsamples small sources — the
+    standard multilingual/multi-domain pre-training recipe), the
+    oversampling factor vs natural proportion, and a document target for a
+    fixed budget. Pure aggregate + one global window over the handful of
+    source rows; the heavy work is the one groupBy over the corpus.
+    Weights round to 6 decimals so the arithmetic is engine-portable."""
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split("text", " ")).cast("long")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    wraw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    wsum = F.sum(wraw).over(w_all)
+    toksum = F.sum(F.col("n_tokens").cast("double")).over(w_all)
+    mix = F.round(wraw / wsum, 6)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        mix.alias("mix_weight"),
+        F.round((wraw / wsum) / (F.col("n_tokens") / toksum), 6).alias(
+            "oversample"
+        ),
+        F.round(mix * doc_budget, 0).cast("long").alias("target_docs"),
+    )
+
+
+def c60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "c5_text_stats": c5_text_stats,
     "c49_token_budget_mix": c49_token_budget_mix,
@@ -269,6 +398,9 @@ QUERIES = {
     "c30_vocab": c30_vocab,
     "c31_scrub_pii": c31_scrub_pii,
     "c37_tfidf_top_term": c37_tfidf_top_term,
+    "c58_repetition_stats": c58_repetition_stats,
+    "c59_shard_assign": c59_shard_assign,
+    "c60_mixture_weights": c60_mixture_weights,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -375,6 +507,69 @@ ORACLE = {
                  regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
                                 ' +', ' ', 'g')) AS INT) AS chars_removed
         FROM documents
+    """,
+    "c58_repetition_stats": """
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tc AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS tok FROM ws) GROUP BY 1, 2
+        ),
+        ts AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT) AS top_cnt
+          FROM tc GROUP BY 1
+        ),
+        gc AS (
+          SELECT doc_id, g, COUNT(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                FROM ws)
+          GROUP BY 1, 2
+        ),
+        gs AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+          FROM gc GROUP BY 1
+        )
+        SELECT ts.doc_id, ts.n_tokens,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+               CAST(top_cnt AS DOUBLE) / n_tokens AS top_word_frac,
+               COALESCE(CAST(dup AS DOUBLE) / n_grams, 0.0) AS dup_3gram_frac,
+               (CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
+                AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.3) AS keep
+        FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+    """,
+    "c59_shard_assign": """
+        WITH h AS (
+          SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents
+        )
+        SELECT doc_id, CAST(h % 64 AS INT) AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY h % 64 ORDER BY h, doc_id) - 1 AS BIGINT)
+                 AS shard_pos
+        FROM h
+    """,
+    "c60_mixture_weights": """
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        sc AS (
+          SELECT source, n_docs, n_tokens,
+                 pow(CAST(n_tokens AS DOUBLE), 0.7) AS wraw,
+                 SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) OVER () AS wsum,
+                 SUM(CAST(n_tokens AS DOUBLE)) OVER () AS toksum
+          FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(wraw / wsum, 6) AS mix_weight,
+               ROUND((wraw / wsum) / (n_tokens / toksum), 6) AS oversample,
+               CAST(ROUND(ROUND(wraw / wsum, 6) * 100000, 0) AS BIGINT)
+                 AS target_docs
+        FROM sc
     """,
     "c20_fingerprint": f"""
         SELECT doc_id,

@@ -519,3 +519,61 @@ def test_pair_list_safety_valve_copy_ratio_100(spark):
 
     with _pytest.raises(ValueError, match="pairs|count|clusters"):
         token_jaccard_pairs(docs, output="all_of_them")
+
+
+# --- text corpus-export ops (c58/c59/c60) ---
+
+
+def test_repetition_stats_known_values(spark):
+    from data_engineering_zoomcamp_my_test_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct / 4, top frac 1.0, grams "a a a" x2 all dup
+            (2, "a b c d"),          # all distinct, no dup grams
+            (3, "x y"),              # < 3 tokens: no grams -> dup frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4 and r1["distinct_ratio"] == 0.25
+    assert r1["top_word_frac"] == 1.0 and r1["dup_3gram_frac"] == 1.0
+    assert r1["keep"] is False
+    r2 = rows[2]
+    assert r2["distinct_ratio"] == 1.0 and r2["dup_3gram_frac"] == 0.0
+    assert r2["top_word_frac"] == 0.25 and r2["keep"] is True
+    r3 = rows[3]
+    assert r3["n_tokens"] == 2 and r3["dup_3gram_frac"] == 0.0
+
+
+def test_shard_assign_deterministic_balanced_contiguous(spark):
+    from data_engineering_zoomcamp_my_test_spark.operators.text import shard_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = shard_assign(docs, n_shards=8).collect()
+    again = shard_assign(docs.repartition(13), n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # layout-invariant
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    assert set(by_shard) == set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) < 1000 // 8  # multiplicative hash spreads
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1 per shard
+
+
+def test_mixture_weights_sum_and_upsample_direction(spark):
+    from data_engineering_zoomcamp_my_test_spark.operators.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "big") for i in range(90)]
+        + [(100 + i, "w " * 99 + "w", "small") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in mixture_weights(docs, alpha=0.7).collect()}
+    assert abs(rows["big"]["mix_weight"] + rows["small"]["mix_weight"] - 1.0) < 1e-5
+    # alpha < 1 upsamples the small source, downsamples the big one
+    assert rows["small"]["oversample"] > 1.0 > rows["big"]["oversample"]
+    assert rows["big"]["n_tokens"] == 9000 and rows["small"]["n_docs"] == 10

@@ -91,3 +91,70 @@ def test_training_corpus_pipeline(spark, sf_small, tmp_path):
     first = {r.doc_id: r.split for r in back.select("doc_id", "split").collect()}
     second = {r.doc_id: r.split for r in again.collect()}
     assert all(second[d] == s for d, s in first.items())
+
+
+def test_corpus_export_pipeline(spark, sf_small, tmp_path):
+    """Round-5 export path: repetition filter -> mixture weights ->
+    sequence packing -> deterministic shard layout -> shard-partitioned
+    land. Repetitive junk docs are injected so the quality gate has real
+    work; every boundary is asserted, and the landed layout must
+    partition-prune on shard_id."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        mixture_weights,
+        pack_sequences,
+        repetition_stats,
+        shard_assign,
+    )
+
+    out_dir = str(tmp_path / "shards")
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "source"
+    )
+    junk = spark.createDataFrame(
+        [(10_000_000 + i, "spam " * 49 + "spam", "srcjunk") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    corpus = docs.unionByName(junk)
+
+    stats = repetition_stats(corpus)
+    kept = corpus.join(
+        stats.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    n_corpus, n_kept = corpus.count(), kept.count()
+    # the gate drops every junk doc (top_word_frac = 1.0) and only them
+    assert n_kept == n_corpus - 20
+    assert kept.filter(F.col("source") == "srcjunk").count() == 0
+
+    weights = {r["source"]: r for r in mixture_weights(kept).collect()}
+    assert abs(sum(r["mix_weight"] for r in weights.values()) - 1.0) < 1e-4
+    assert "srcjunk" not in weights
+
+    packed = pack_sequences(kept, seq_len=128)
+    assert packed.filter(F.col("seq_id").isNull()).count() == 0
+
+    sharded = kept.join(shard_assign(kept, n_shards=8), "doc_id")
+    write_parquet(sharded, out_dir, partition_by=["shard_id"])
+
+    back = spark.read.parquet(out_dir)
+    assert back.count() == n_kept  # nothing lost or duplicated in the land
+    # dense positions 0..n-1 inside every shard survive the round-trip
+    per_shard = (
+        back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("shard_pos").alias("mx"),
+            F.min("shard_pos").alias("mn"),
+        )
+        .collect()
+    )
+    assert len(per_shard) == 8
+    for r in per_shard:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+    plan = (
+        back.filter(F.col("shard_id") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "shard_id" in plan.split("PartitionFilters")[1][:200]

@@ -53,8 +53,13 @@ def main() -> None:
     queries = all_queries()
 
     # JVM/codegen warmup on the smallest SF so measurements reflect the
-    # engine, not first-call JIT.
-    queries["b3_groupby_agg"](spark, "/root/testdata/sf0.001").count()
+    # engine, not first-call JIT. Prefer the tiny sf0.001 set; fall back to
+    # the bench target so the harness works on machines without
+    # /root/testdata (same portability contract as tools/sweep.py).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    queries["b3_groupby_agg"](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -609,6 +609,48 @@ def b41_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b44_win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (FIRST_VALUE / LAST_VALUE / NTH_VALUE) over
+    the whole partition — the explicit ROWS UNBOUNDED..UNBOUNDED frame
+    avoids the classic LAST_VALUE-with-default-frame trap (default frame
+    ends at CURRENT ROW). Total order (o_orderdate, o_orderkey) keeps the
+    values deterministic under any partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    price = F.col("o_totalprice").cast("double")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(price).over(w).alias("first_price"),
+        F.last(price).over(w).alias("last_price"),
+        F.nth_value(price, 2).over(w).alias("second_price"),
+    )
+
+
+def b45_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg shape): supplier
+    names per nation, sorted inside the list so the result is
+    deterministic. Scale note: list aggregation materializes the whole
+    group per output row — use only on groups with bounded cardinality
+    (dims, buckets), never on fact-sized groups; the ``slice`` cap in the
+    companion test shows the bounded form."""
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.groupBy("s_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 # --- B34-B36: classic decision-support shapes (TPC-H Q3/Q4/Q10 analogs) -------
 
 def b34_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +748,8 @@ QUERIES = {
     "b39_setops_all": b39_setops_all,
     "b40_null_safe_cmp": b40_null_safe_cmp,
     "b41_string_advanced": b41_string_advanced,
+    "b44_win_value_fns": b44_win_value_fns,
+    "b45_listagg": b45_listagg,
 }
 
 _MONEY = "DECIMAL(18,2)"
@@ -962,6 +1006,21 @@ ORACLE = {
                repeat('-', (p_size % 5) + 1) AS dash_bar,
                CAST(instr(p_name, ' ') AS BIGINT) AS space_at
         FROM part
+    """,
+    "b44_win_value_fns": """
+        SELECT o_orderkey, o_custkey,
+               first_value(CAST(o_totalprice AS DOUBLE)) OVER w AS first_price,
+               last_value(CAST(o_totalprice AS DOUBLE)) OVER w AS last_price,
+               nth_value(CAST(o_totalprice AS DOUBLE), 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "b45_listagg": """
+        SELECT s_nationkey,
+               string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+               COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
     "b34_q3_shipping_priority": f"""
         SELECT l_orderkey, o_orderpriority, CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue

@@ -577,3 +577,58 @@ def test_mixture_weights_sum_and_upsample_direction(spark):
     # alpha < 1 upsamples the small source, downsamples the big one
     assert rows["small"]["oversample"] > 1.0 > rows["big"]["oversample"]
     assert rows["big"]["n_tokens"] == 9000 and rows["small"]["n_docs"] == 10
+
+
+def test_listagg_bounded_form(spark):
+    """The scale-safe LISTAGG: rank-limit the group BEFORE collecting, so
+    the aggregation state is bounded by k, not by group size (the unbounded
+    form in b45 is for dim-sized groups only)."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(1, f"name{i:03d}") for i in range(100)] + [(2, "only")],
+        "g int, v string",
+    )
+    ranked = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("v"))
+    )
+    out = {
+        r["g"]: r["joined"]
+        for r in ranked.filter(F.col("rn") <= 3)
+        .groupBy("g")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("v"))).alias("joined"))
+        .collect()
+    }
+    assert out[1] == "name000,name001,name002"
+    assert out[2] == "only"
+
+
+def test_decontaminate_collapse_result_invisible(spark):
+    """Copy-heavy corpora route through the exact-copy collapse; results
+    must be identical to the plain plan (same rows, same overlap counts),
+    including docs with no contamination (absent from both outputs)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import decontaminate
+
+    heldout = spark.createDataFrame(
+        [(900, "heldout", "the quick brown fox jumps")],
+        "doc_id long, source string, text string",
+    )
+    # 3 distinct texts x 50 exact copies; texts 0/1 overlap the held-out
+    # set (share >= 1 3-shingle), text 2 is clean.
+    texts = [
+        "the quick brown fox sleeps",   # shares 'the quick brown', 'quick brown fox'
+        "a b the quick brown c",        # shares 'the quick brown'
+        "totally clean document here",  # no shared shingle
+    ]
+    corpus = spark.createDataFrame(
+        [(i, f"src{i % 3}", texts[i % 3]) for i in range(150)],
+        "doc_id long, source string, text string",
+    )
+    plain = sorted(
+        map(tuple, decontaminate(corpus, heldout, collapse_exact=False).collect())
+    )
+    collapsed = sorted(map(tuple, decontaminate(corpus, heldout).collect()))
+    assert plain == collapsed
+    assert len(plain) == 100  # 2 contaminated texts x 50 copies
+    counts = {t[2] for t in plain}
+    assert counts == {1, 2}

@@ -1078,7 +1078,10 @@ _SHINGLE_SET_EXPR = (
 
 
 def decontaminate(
-    corpus: DataFrame, heldout: DataFrame, text_col: str = "text"
+    corpus: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Test-set decontamination — the training-data hygiene op every LLM
     pipeline runs before training: find corpus documents sharing any
@@ -1086,18 +1089,40 @@ def decontaminate(
     as evidence. Plan: the held-out side reduces to a distinct-shingle set
     (eval sets are small by construction — broadcast); the corpus side is
     one linear explode joined on the shingle — no corpus self-join, scales
-    with corpus size."""
+    with corpus size.
+
+    Copy-heavy corpora (r5): the shingle explode + probe-join pays the
+    full exact-copy multiplicity — identical texts share every shingle, so
+    c copies cost c x the explode/join work for information one
+    representative already carries (measured 151 s for the full sf10 sweep
+    entry at copy-ratio 100). The same stats probe the pairwise operators
+    use (``_has_exact_copies``) routes such corpora through
+    ``_collapse_exact``: the explode/join runs on one representative per
+    distinct (source, text) group and the per-doc counts expand back
+    through the doc -> rep mapping (copies share their representative's
+    overlap count by definition). Result-identical either way
+    (differential-tested); plain corpora skip the collapse overhead."""
     test_sh = F.broadcast(
         heldout.select(F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("sh")).distinct()
     )
-    corp = corpus.select(
-        "doc_id", "source", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("sh")
-    )
-    return (
-        corp.join(test_sh, "sh")
-        .groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-    )
+
+    def _hits(docs: DataFrame) -> DataFrame:
+        corp = docs.select(
+            "doc_id", "source", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("sh")
+        )
+        return (
+            corp.join(test_sh, "sh")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        )
+
+    if collapse_exact and _has_exact_copies(corpus, "source"):
+        mapping, reps = _collapse_exact(corpus, "source")
+        rep_hits = _hits(reps).withColumnRenamed("doc_id", "rep_id")
+        return mapping.join(rep_hits, "rep_id").select(
+            "doc_id", "source", "n_shared_shingles"
+        )
+    return _hits(corpus)
 
 
 def c46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,11 +2,15 @@
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
 typed metadata. The Spark-side mechanics — schema, Arrow batch shape,
-``mapInPandas`` pipeline, partition sizing — are real and tested; the actual
-media decode is STUBBED (`decode_stub=True` produces deterministic fake
-features; `decode_stub=False` raises NotImplementedError) because no media
-libraries ship in this environment. Swapping the stub for PIL/librosa/ffmpeg
-changes only the inner function body, not the distributed plan.
+``mapInPandas`` pipeline, partition sizing — are real and tested. Decode
+status by format (r5): REAL for everything stdlib + numpy can express —
+image headers (PNG/GIF/BMP/JPEG dims), uncompressed 24-bit BMP pixels,
+8-bit PNG pixels (zlib inflate + full scanline unfiltering), and raw PCM16
+audio; STUBBED only where an entropy codec genuinely needs a media lib
+(JPEG/GIF pixels, containered audio): there ``decode_stub=True`` produces
+deterministic fake features and ``decode_stub=False`` raises
+NotImplementedError. Swapping the stub for PIL/librosa/ffmpeg changes only
+the inner function body, not the distributed plan.
 
 Design for 100 TB: media bytes never leave the executor (no collect); the
 feature extractor is an Arrow-batched iterator so one task streams many
@@ -235,6 +239,175 @@ def pcm16_stats(media: DataFrame, sample_rate_hz: int = 16_000) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+PIXELS_SCHEMA = (
+    "media_id bigint, format string, px_width int, px_height int, "
+    "mean_rgb array<double>, thumb array<float>"
+)
+
+_THUMB_BINS = 4
+
+
+def decode_image_pixels(media: DataFrame) -> DataFrame:
+    """REAL (non-stubbed) pixel decode -> feature-extract -> resize for the
+    two raster formats decodable with pure stdlib + numpy:
+
+    - **BMP**: uncompressed BI_RGB 24-bit (the uncompressed interchange
+      format) — header offsets, 4-byte row stride, bottom-up row order,
+      BGR channel order;
+    - **PNG**: 8-bit gray/RGB/RGBA, non-interlaced — chunk walk, zlib
+      IDAT inflate (stdlib), and full scanline unfiltering (None/Sub/Up/
+      Average/Paeth per the PNG spec).
+
+    Output per image: dimensions, channel means, and a ``4x4`` mean-pooled
+    RGB thumbnail (48 floats) — the decode/feature/resize pipeline shape a
+    vision-pretraining data pipeline runs, exercised on real bytes.
+    JPEG/GIF stay behind the documented stub (their entropy coders need a
+    media lib); unsupported/malformed payloads yield null feature columns,
+    never task failures. The Python unfilter loop is row-sequential by
+    spec (Sub/Paeth depend on the previous pixel) — production swaps this
+    inner function for PIL/turbojpeg without touching the distributed
+    plan. Payloads never leave the executor; batches stream via Arrow."""
+    bins = _THUMB_BINS
+
+    def _decode_bmp(raw: bytes):
+        import struct
+
+        import numpy as np
+
+        if len(raw) < 54 or raw[:2] != b"BM":
+            return None
+        off = struct.unpack("<I", raw[10:14])[0]
+        w, h = struct.unpack("<ii", raw[18:26])
+        bpp = struct.unpack("<H", raw[28:30])[0]
+        comp = struct.unpack("<I", raw[30:34])[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up, h = h > 0, abs(h)
+        stride = ((24 * w + 31) // 32) * 4
+        if off + stride * h > len(raw):
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off)
+        px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+        return (px[::-1] if bottom_up else px).astype(np.float64)
+
+    def _decode_png(raw: bytes):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, w = 8, None
+        idat = b""
+        while i + 8 <= len(raw):
+            ln, typ = struct.unpack(">I4s", raw[i : i + 8])
+            data = raw[i + 8 : i + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                    return None
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + ln
+        if w is None or not idat:
+            return None
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        try:
+            flat = zlib.decompress(idat)
+        except zlib.error:
+            return None
+        rowlen = 1 + w * ch
+        if len(flat) < rowlen * h:
+            return None
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        prev = np.zeros(w * ch, dtype=np.intp)
+        for r in range(h):
+            line = flat[r * rowlen : (r + 1) * rowlen]
+            filt, cur = line[0], np.frombuffer(
+                line, dtype=np.uint8, count=w * ch, offset=1
+            ).astype(np.intp)
+            if filt == 0:
+                rec = cur
+            elif filt == 2:
+                rec = (cur + prev) & 0xFF
+            else:
+                rec = np.zeros(w * ch, dtype=np.intp)
+                for x in range(w * ch):
+                    a = rec[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    if filt == 1:
+                        pred = a
+                    elif filt == 3:
+                        pred = (a + b) // 2
+                    elif filt == 4:
+                        c = prev[x - ch] if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    else:
+                        return None
+                    rec[x] = (cur[x] + pred) & 0xFF
+            out[r], prev = rec.astype(np.uint8), rec
+        px = out.reshape(h, w, ch).astype(np.float64)
+        if ch == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pool(px):
+            hbins = np.array_split(px, bins, axis=0)
+            return [
+                float(cell[:, :, c].mean())
+                for row in hbins
+                for cell in np.array_split(row, bins, axis=1)
+                for c in range(3)
+            ]
+
+        for pdf in batches:
+            fmt, ws, hs, means, thumbs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                px, f = None, None
+                try:
+                    if raw[:2] == b"BM":
+                        px, f = _decode_bmp(raw), "bmp"
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        px, f = _decode_png(raw), "png"
+                except Exception:  # noqa: BLE001 — malformed media must not fail the task
+                    px = None
+                if px is None:
+                    fmt.append(f)
+                    ws.append(None)
+                    hs.append(None)
+                    means.append(None)
+                    thumbs.append(None)
+                else:
+                    fmt.append(f)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    means.append([float(px[:, :, c].mean()) for c in range(3)])
+                    thumbs.append(pool(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pd.Series(fmt, dtype=object),
+                    "px_width": pd.Series(ws, dtype="Int32"),
+                    "px_height": pd.Series(hs, dtype="Int32"),
+                    "mean_rgb": pd.Series(means, dtype=object),
+                    "thumb": pd.Series(thumbs, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PIXELS_SCHEMA)
 
 
 def filter_by_metadata(

@@ -133,3 +133,126 @@ def test_jpeg_dims_with_fill_bytes(spark):
     df = spark.createDataFrame([(1, "image", jpeg)], "media_id long, kind string, payload binary")
     r = probe_image_dims(df).collect()[0]
     assert (r.format, r.px_width, r.px_height) == ("jpeg", 800, 600)
+
+
+def _bmp_bytes(px):
+    """Encode an HxWx3 uint8 RGB array as an uncompressed 24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = px[r][:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        rows += line + b"\x00" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows
+
+
+def _png_bytes(px, filters):
+    """Encode an HxWx3 uint8 RGB array as an 8-bit PNG, applying the given
+    per-row filter types (exercises the decoder's unfilter paths)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    h, w, ch = px.shape
+    raw = px.astype(np.intp)
+    flat = b""
+    prev = np.zeros(w * ch, dtype=np.intp)
+    for r in range(h):
+        cur = raw[r].reshape(-1)
+        f = filters[r % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            a = np.concatenate([np.zeros(ch, dtype=np.intp), cur[:-ch]])
+            enc = (cur - a) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            a = np.concatenate([np.zeros(ch, dtype=np.intp), cur[:-ch]])
+            enc = (cur - (a + prev) // 2) & 0xFF
+        else:  # paeth
+            enc = np.zeros(w * ch, dtype=np.intp)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        flat += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(flat))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_pixels_bmp_png_agree(spark):
+    """The same image encoded as BMP and as PNG (every filter type) must
+    decode to identical pixels, means, and thumbnails — a real
+    decode-extract-resize pass over real bytes, no media libs."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(_bmp_bytes(px)), None, None, None),
+        (2, "image", bytearray(_png_bytes(px, [0, 1, 2, 3, 4])), None, None, None),
+        (3, "image", bytearray(b"\xff\xd8\xff\xe0 not decodable"), None, None, None),
+        (4, "image", None, None, None, None),
+    ]
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_image_pixels(media).collect()}
+
+    bmp, png = out[1], out[2]
+    assert (bmp.px_width, bmp.px_height) == (6, 8) == (png.px_width, png.px_height)
+    assert bmp.mean_rgb == pytest.approx(png.mean_rgb, abs=1e-9)
+    assert bmp.thumb == pytest.approx(png.thumb, abs=1e-5)
+    expected_means = [float(px[:, :, c].mean()) for c in range(3)]
+    assert list(bmp.mean_rgb) == pytest.approx(expected_means, abs=1e-9)
+    assert len(bmp.thumb) == 48
+    # undecodable / null payloads yield null features, not task failures
+    assert out[3].px_width is None and out[4].mean_rgb is None
+
+
+def test_decode_image_pixels_solid_color_thumb(spark):
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_pixels,
+    )
+
+    px = np.zeros((5, 5, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # solid red-ish
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(_bmp_bytes(px)), None, None, None)], MEDIA_SCHEMA
+    )
+    r = decode_image_pixels(media).collect()[0]
+    assert list(r.mean_rgb) == pytest.approx([200.0, 0.0, 0.0])
+    assert r.thumb == pytest.approx([200.0, 0.0, 0.0] * 16, abs=1e-5)

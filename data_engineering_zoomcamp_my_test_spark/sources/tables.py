@@ -56,9 +56,12 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
-        # df[c] rather than F.col(c): the latter re-parses the name, so a
-        # column containing ``.`` or backticks would mis-resolve.
-        df = df.withColumn(c, df[c].cast("timestamp"))
+        # Backtick-quote (with `` escaping) rather than F.col(c)/df[c]:
+        # both of those re-parse the name, so a column containing ``.``
+        # would resolve as a struct path and fail (regression-tested in
+        # test_robustness.py with a literal dotted name).
+        quoted = "`" + c.replace("`", "``") + "`"
+        df = df.withColumn(c, F.col(quoted).cast("timestamp"))
     return df
 
 

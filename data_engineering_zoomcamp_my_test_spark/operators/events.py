@@ -127,6 +127,58 @@ def c44_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_ffill(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Time-series resampling to a fixed grid with forward fill — the
+    gap-filling operator relational engines lack natively: per key, a
+    dense bucket grid spans that key's observed range; buckets with
+    observations carry their bucket MAX; empty buckets inherit the last
+    observed value (``is_gap`` marks them).
+
+    Scale: everything shuffles on the key — bucket rollup, span, grid
+    join, and the fill window share the one partitioning. The grid
+    explode's size is keys x (span / grain) — independent of event count,
+    bounded by the grain choice, and generated JVM-side
+    (``sequence``/``explode``, no Python). Leading buckets are always
+    observed (grids start at each key's first observation), so the
+    IGNORE NULLS fill is total."""
+    b = F.expr(f"unix_micros({ts_col}) div 1000000 div {bucket_s}")
+    obs = (
+        events.select(user_col, b.alias("b"), F.col(val_col))
+        .groupBy(user_col, "b")
+        .agg(F.max(val_col).alias("v_obs"))
+    )
+    grid = (
+        obs.groupBy(user_col)
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select(user_col, F.explode(F.sequence("mn", "mx")).alias("b"))
+    )
+    w = (
+        W.partitionBy(user_col)
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, [user_col, "b"], "left")
+        .select(
+            user_col,
+            (F.col("b") * bucket_s).cast("long").alias("bucket_epoch_s"),
+            F.last("v_obs", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v_obs").isNull().alias("is_gap"),
+        )
+    )
+
+
+def c61_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid with forward fill over the events stream."""
+    return resample_ffill(load_table(spark, sf_dir, "events"), bucket_s=3600)
+
+
 def c51_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-enforced JSON parsing (vs c10's path extraction): from_json
     projects the props string through a declared struct schema. ``parsed_ok``
@@ -206,11 +258,31 @@ QUERIES = {
     "c21_json_agg": c21_json_agg,
     "c22_hourly_top_event": c22_hourly_top_event,
     "c44_session_funnel": c44_session_funnel,
+    "c61_resample_ffill": c61_resample_ffill,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
 ORACLE = {
+    "c61_resample_ffill": """
+        WITH obs AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+                 MAX(value) AS v_obs
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM obs GROUP BY 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(mn, mx)) AS b FROM span
+        )
+        SELECT g.user_id,
+               CAST(g.b * 3600 AS BIGINT) AS bucket_epoch_s,
+               last_value(o.v_obs IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               (o.v_obs IS NULL) AS is_gap
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    """,
     "c7_tumbling": f"""
         SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
                event_type, COUNT(*) AS n_events,

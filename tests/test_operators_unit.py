@@ -632,3 +632,31 @@ def test_decontaminate_collapse_result_invisible(spark):
     assert len(plain) == 100  # 2 contaminated texts x 50 copies
     counts = {t[2] for t in plain}
     assert counts == {1, 2}
+
+
+def test_resample_ffill_fills_gaps_with_last_value(spark):
+    from data_engineering_zoomcamp_my_test_spark.operators.events import resample_ffill
+
+    rows = [
+        # user 1: observations in buckets 0, 1, 4 (gap at 2, 3)
+        (1, 1, "2024-01-01 00:10:00", 5.0),
+        (2, 1, "2024-01-01 00:50:00", 5.5),
+        (3, 1, "2024-01-01 01:20:00", 7.0),
+        (4, 1, "2024-01-01 04:01:00", 9.0),
+        # user 2: single observation -> single-bucket grid, no gaps
+        (5, 2, "2024-01-01 02:00:00", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, v) for i, u, t, v in rows],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["user_id"], r["bucket_epoch_s"]): r
+        for r in resample_ffill(ev, bucket_s=3600).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    u1 = [out[(1, base + h * 3600)] for h in range(5)]
+    assert [r["v_filled"] for r in u1] == [5.5, 7.0, 7.0, 7.0, 9.0]
+    assert [r["is_gap"] for r in u1] == [False, False, True, True, False]
+    assert len([k for k in out if k[0] == 2]) == 1
+    assert out[(2, base + 2 * 3600)]["v_filled"] == 1.0

@@ -362,3 +362,79 @@ def test_stratified_sample_rates_within_tolerance(spark, sf_small):
     for et, frac in (("view", 0.1), ("click", 0.5)):
         rate = sampled.get(et, 0) / totals[et]
         assert abs(rate - frac) / frac < 0.4, (et, rate)
+
+
+def test_resample_ffill_grid_is_dense_and_total(spark):
+    """Random event sets: the resampled grid is dense (every bucket from
+    each key's min to max exactly once), v_filled is total (no nulls), and
+    non-gap buckets carry their bucket max."""
+    from data_engineering_zoomcamp_my_test_spark.operators.events import (
+        resample_ffill,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(400):
+        u = rng.randint(1, 8)
+        t = rng.randint(0, 3600 * 50)
+        rows.append((i, u, t, round(rng.uniform(0, 100), 2)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, value double"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    out = resample_ffill(ev, bucket_s=3600).collect()
+    assert all(r["v_filled"] is not None for r in out)
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["bucket_epoch_s"])
+    # dense, duplicate-free grid per user
+    for _u, buckets in by_user.items():
+        bs = sorted(buckets)
+        assert bs == list(range(bs[0], bs[-1] + 3600, 3600))
+        assert len(set(bs)) == len(bs)
+    # non-gap rows carry the exact bucket max
+    expected: dict[tuple, float] = {}
+    for _i, u, t, v in rows:
+        key = (u, (t // 3600) * 3600)
+        expected[key] = max(expected.get(key, float("-inf")), v)
+    for r in out:
+        if not r["is_gap"]:
+            assert r["v_filled"] == expected[(r["user_id"], r["bucket_epoch_s"])]
+
+
+def test_shard_assign_is_a_permutation(spark):
+    """Every doc appears exactly once, under any shard count."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import shard_assign
+
+    ids = random.Random(5).sample(range(10_000_000), 500)
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for n in (1, 7, 64):
+        out = shard_assign(docs, n_shards=n).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(ids)
+        assert all(0 <= r["shard_id"] < n for r in out)
+
+
+def test_repetition_stats_bounds_and_extremes(spark):
+    """Ratios stay in (0, 1]; a fully-repeated doc maxes dup_3gram_frac;
+    an all-distinct doc zeroes it; stats are permutation-stable under
+    repartitioning."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        repetition_stats,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(out) == 120
+    for r in out.values():
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert 0 < r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_3gram_frac"] <= 1.0
+    again = {
+        r["doc_id"]: r for r in repetition_stats(docs.repartition(13)).collect()
+    }
+    assert all(tuple(again[k]) == tuple(v) for k, v in out.items())

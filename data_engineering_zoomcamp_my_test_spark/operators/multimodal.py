@@ -241,6 +241,85 @@ def pcm16_stats(media: DataFrame, sample_rate_hz: int = 16_000) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+WAV_STATS_SCHEMA = (
+    "media_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples int, duration_ms double, rms double, peak int"
+)
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """REAL (non-stubbed) WAV container decode: RIFF/WAVE chunk walk to the
+    ``fmt `` block (sample rate, channels, bit depth) and the ``data``
+    block, then PCM16 analysis at the *container's own* sample rate —
+    upgrading ``pcm16_stats`` (raw PCM at an assumed rate) to the
+    self-describing interchange format. PCM16 only (format tag 1, 16-bit);
+    compressed WAV (ADPCM/float/mp3-in-wav) needs a codec and yields null
+    stats, never task failures. Multi-channel data is analyzed interleaved
+    (RMS/peak over all channels); ``n_samples`` counts frames per channel.
+    Pure stdlib ``struct`` + numpy; Arrow-batched; payloads stay on the
+    executor."""
+
+    def parse(raw: bytes):
+        import struct
+
+        import numpy as np
+
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(raw):
+            cid, ln = raw[i : i + 4], struct.unpack("<I", raw[i + 4 : i + 8])[0]
+            body = raw[i + 8 : i + 8 + ln]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+        if tag != 1 or bits != 16 or ch < 1 or rate < 1:
+            return None
+        data = data[: len(data) - (len(data) % 2)]
+        x = np.frombuffer(data, dtype="<i2")
+        frames = int(x.size // ch)
+        rms = float(np.sqrt((x.astype("f8") ** 2).mean())) if x.size else 0.0
+        peak = int(np.abs(x.astype("i4")).max()) if x.size else 0
+        return rate, ch, bits, frames, 1000.0 * frames / rate, rms, peak
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "sample_rate", "n_channels", "bits", "n_samples",
+                    "duration_ms", "rms", "peak",
+                )
+            }
+            for payload in pdf["payload"]:
+                try:
+                    parsed = parse(bytes(payload) if payload is not None else b"")
+                except Exception:  # noqa: BLE001 — malformed media must not fail the task
+                    parsed = None
+                vals = parsed if parsed is not None else (None,) * 7
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="Int32"),
+                    "bits": pd.Series(cols["bits"], dtype="Int32"),
+                    "n_samples": pd.Series(cols["n_samples"], dtype="Int32"),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="Float64"),
+                    "rms": pd.Series(cols["rms"], dtype="Float64"),
+                    "peak": pd.Series(cols["peak"], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
 PIXELS_SCHEMA = (
     "media_id bigint, format string, px_width int, px_height int, "
     "mean_rgb array<double>, thumb array<float>"

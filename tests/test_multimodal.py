@@ -256,3 +256,55 @@ def test_decode_image_pixels_solid_color_thumb(spark):
     r = decode_image_pixels(media).collect()[0]
     assert list(r.mean_rgb) == pytest.approx([200.0, 0.0, 0.0])
     assert r.thumb == pytest.approx([200.0, 0.0, 0.0] * 16, abs=1e-5)
+
+
+def _wav_bytes(samples, rate=8000, ch=1):
+    """Minimal PCM16 WAV encoder (RIFF + fmt + data, word-aligned)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_stats_real_container(spark):
+    import math
+
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        wav_stats,
+    )
+
+    # 1 second of a full-scale square wave at 8 kHz mono: rms = peak = 20000
+    sq = np.tile([20000, -20000], 4000)
+    stereo = np.array([100, -100] * 500, dtype=np.int16)  # 500 frames, 2ch
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(sq, rate=8000, ch=1)), None, None, None),
+        (2, "audio", bytearray(_wav_bytes(stereo, rate=16000, ch=2)), None, None, None),
+        (3, "audio", bytearray(b"RIFF....WAVEjunk"), None, None, None),
+        (4, "audio", bytearray(b"not a wav at all"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in wav_stats(media).collect()}
+
+    r1 = out[1]
+    assert (r1.sample_rate, r1.n_channels, r1.bits) == (8000, 1, 16)
+    assert r1.n_samples == 8000 and r1.duration_ms == pytest.approx(1000.0)
+    assert r1.rms == pytest.approx(20000.0) and r1.peak == 20000
+
+    r2 = out[2]
+    assert (r2.sample_rate, r2.n_channels) == (16000, 2)
+    assert r2.n_samples == 500  # frames per channel
+    assert r2.duration_ms == pytest.approx(1000.0 * 500 / 16000)
+    assert r2.rms == pytest.approx(100.0) and r2.peak == 100
+
+    # malformed containers yield null stats, never task failures
+    assert out[3].sample_rate is None and out[4].sample_rate is None

@@ -140,16 +140,22 @@ def resample_ffill(
     observations carry their bucket MAX; empty buckets inherit the last
     observed value (``is_gap`` marks them).
 
-    Scale: everything shuffles on the key — bucket rollup, span, grid
-    join, and the fill window share the one partitioning. The grid
-    explode's size is keys x (span / grain) — independent of event count,
-    bounded by the grain choice, and generated JVM-side
-    (``sequence``/``explode``, no Python). Leading buckets are always
-    observed (grids start at each key's first observation), so the
-    IGNORE NULLS fill is total."""
+    Scale: each branch pays exactly one key-partitioned shuffle of its
+    column-pruned scan (span reads (key, ts); obs reads (key, ts, val)),
+    after which HashPartitioning(key) satisfies every downstream
+    distribution: the (key, bucket) rollup and the span aggregate cluster
+    by a superset of the partition key, the grid-obs join co-locates (AQE
+    broadcasts the aggregated side while it fits, demotes to the
+    co-partitioned merge join at scale — plan-audited), and the fill
+    window partitions by the same key. The grid explode's size
+    is keys x (span / grain) — independent of event count, bounded by the
+    grain choice, and generated JVM-side (``sequence``/``explode``, no
+    Python). Leading buckets are always observed (grids start at each
+    key's first observation), so the IGNORE NULLS fill is total."""
     b = F.expr(f"unix_micros({ts_col}) div 1000000 div {bucket_s}")
     obs = (
         events.select(user_col, b.alias("b"), F.col(val_col))
+        .repartition(user_col)
         .groupBy(user_col, "b")
         .agg(F.max(val_col).alias("v_obs"))
     )

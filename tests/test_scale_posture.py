@@ -222,3 +222,43 @@ def test_driver_window_contains_all_mandated_decls():
     oracles = all_oracle_sql()
     for s in seats:
         assert s in oracles, f"rotation seat {s} has no exact oracle"
+
+
+def test_repetition_stats_single_shuffle_no_join(spark, sf_small):
+    """c58's contract: one scan, one doc_id-keyed shuffle, zero joins —
+    the tagged (kind, item) stream design (text.py docstring)."""
+    import re
+
+    df = all_queries()["c58_repetition_stats"](spark, sf_small)
+    df.count()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    assert "REPARTITION_BY_COL" in plan
+
+
+def test_resample_ffill_partitioning_satisfied_downstream(spark, sf_small):
+    """c61: every hash exchange is the upfront key repartition — the
+    rollups, span, join, and fill window never re-shuffle on (key, b)."""
+    import re
+
+    df = all_queries()["c61_resample_ffill"](spark, sf_small)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert hash_parts, "expected the upfront key repartition"
+    for part in hash_parts:
+        cols = [c.split("#")[0].strip() for c in part.split(",")[:-1]]
+        assert cols == ["user_id"], f"unexpected shuffle key: {part}"
+
+
+def test_shard_assign_single_export_shuffle(spark, sf_small):
+    """c59: the row_number window's shard-keyed shuffle is the only
+    exchange — the export shuffle itself, nothing extra."""
+    import re
+
+    df = all_queries()["c59_shard_assign"](spark, sf_small)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1

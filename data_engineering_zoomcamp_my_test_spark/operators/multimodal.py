@@ -320,6 +320,69 @@ def wav_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
+def _build_lzw_decoder():
+    """Factory for the GIF-variant LZW decoder (LSB-first variable-width
+    codes, CLEAR/END codes, code-size growth capped at 12 bits).
+
+    A factory rather than a plain module function on purpose: the UDF
+    closure must carry a FRESH function object (qualname
+    ``_build_lzw_decoder.<locals>.lzw_decode``) so cloudpickle serializes
+    it BY VALUE — a module-level function would pickle by reference and
+    reintroduce the executor import-path dependency this module's
+    contract forbids (caught by the vanilla-session verify drive)."""
+
+    def lzw_decode(data: bytes, min_code: int, max_pixels: int):
+        if not 2 <= min_code <= 11:
+            return None
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        bits = int.from_bytes(data, "little")
+        total = len(data) * 8
+        pos, size = 0, min_code + 1
+        table = [(i,) for i in range(clear)] + [(), ()]
+        prev = None
+        out: list[int] = []
+        while pos + size <= total:
+            code = (bits >> pos) & ((1 << size) - 1)
+            pos += size
+            if code == end:
+                break
+            if code == clear:
+                size, prev = min_code + 1, None
+                del table[clear + 2 :]
+                continue
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + (prev[0],)
+                else:
+                    return None
+                table.append(prev + (entry[0],))
+                # The decoder's table lags the encoder's by exactly one
+                # entry (the encoder adds at every emission; the decoder
+                # only from the second code on), so the width grows one
+                # entry EARLY relative to naive symmetry: the next read
+                # must match the width the encoder used after ITS
+                # (len+1)-th addition.
+                if len(table) + 1 == (1 << size) and size < 12:
+                    size += 1
+            out.extend(entry)
+            prev = entry
+            if len(out) >= max_pixels:
+                break
+        return out
+
+    return lzw_decode
+
+
+# Driver-side handle for tests and interactive use; the UDF builds its own.
+_lzw_decode = _build_lzw_decoder()
+
+
 PIXELS_SCHEMA = (
     "media_id bigint, format string, px_width int, px_height int, "
     "mean_rgb array<double>, thumb array<float>"
@@ -337,13 +400,17 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
       BGR channel order;
     - **PNG**: 8-bit gray/RGB/RGBA, non-interlaced — chunk walk, zlib
       IDAT inflate (stdlib), and full scanline unfiltering (None/Sub/Up/
-      Average/Paeth per the PNG spec).
+      Average/Paeth per the PNG spec);
+    - **GIF**: first frame, global or local palette, interlaced or not —
+      block walk + pure-Python GIF-variant LZW (``_lzw_decode``,
+      roundtrip-tested against an in-test encoder).
 
     Output per image: dimensions, channel means, and a ``4x4`` mean-pooled
     RGB thumbnail (48 floats) — the decode/feature/resize pipeline shape a
     vision-pretraining data pipeline runs, exercised on real bytes.
-    JPEG/GIF stay behind the documented stub (their entropy coders need a
-    media lib); unsupported/malformed payloads yield null feature columns,
+    Only JPEG stays behind the documented stub (arithmetic/Huffman entropy
+    coding + IDCT genuinely wants a media lib);
+    unsupported/malformed payloads yield null feature columns,
     never task failures. The Python unfilter loop is row-sequential by
     spec (Sub/Paeth depend on the previous pixel) — production swaps this
     inner function for PIL/turbojpeg without touching the distributed
@@ -439,6 +506,72 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
             px = np.repeat(px, 3, axis=2)
         return px[:, :, :3]
 
+    _lzw = _build_lzw_decoder()  # fresh object -> cloudpickled by value
+
+    def _decode_gif(raw: bytes):
+        import struct
+
+        import numpy as np
+
+        if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h, flags, _, _ = struct.unpack("<HHBBB", raw[6:13])
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 3 * (2 << (flags & 0x07))
+            gct = raw[i : i + n]
+            i += n
+        # walk blocks to the first image descriptor
+        while i < len(raw):
+            b0 = raw[i]
+            if b0 == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(raw) and raw[i]:
+                    i += 1 + raw[i]
+                i += 1
+            elif b0 == 0x2C:
+                break
+            else:  # trailer / junk
+                return None
+        if i + 10 > len(raw) or raw[i] != 0x2C:
+            return None
+        _, _, iw, ih, iflags = struct.unpack("<HHHHB", raw[i + 1 : i + 10])
+        i += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 3 * (2 << (iflags & 0x07))
+            ct = raw[i : i + n]
+            i += n
+        if ct is None or i >= len(raw):
+            return None
+        min_code = raw[i]
+        i += 1
+        data = b""
+        while i < len(raw) and raw[i]:
+            ln = raw[i]
+            data += raw[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = _lzw(data, min_code, iw * ih)
+        if idx is None or len(idx) < iw * ih:
+            return None
+        pix = np.asarray(idx[: iw * ih], dtype=np.int64)
+        pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+        if pix.max() >= pal.shape[0]:
+            return None
+        px = pal[pix].reshape(ih, iw, 3).astype(np.float64)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            out = np.empty_like(px)
+            out[order] = px
+            px = out
+        return px
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -461,6 +594,8 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
                         px, f = _decode_bmp(raw), "bmp"
                     elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                         px, f = _decode_png(raw), "png"
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        px, f = _decode_gif(raw), "gif"
                 except Exception:  # noqa: BLE001 — malformed media must not fail the task
                     px = None
                 if px is None:

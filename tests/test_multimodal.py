@@ -308,3 +308,126 @@ def test_wav_stats_real_container(spark):
 
     # malformed containers yield null stats, never task failures
     assert out[3].sample_rate is None and out[4].sample_rate is None
+
+
+def _lzw_encode(indices, min_code):
+    """Reference GIF-LZW encoder (test-side only) mirroring the decoder's
+    size-growth schedule, for roundtrip verification."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits = []
+
+    def emit(code, size):
+        for i in range(size):
+            out_bits.append((code >> i) & 1)
+
+    size = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, size)
+    w = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << size) and size < 12:
+            size += 1
+        w = (k,)
+    if w:
+        emit(table[w], size)
+    emit(end, size)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, b in enumerate(out_bits[i : i + 8]):
+            byte |= b << j
+        by.append(byte)
+    return bytes(by)
+
+
+def _gif_bytes(px, interlaced=False, min_code=None):
+    """Encode an HxWx3 uint8 array as a single-frame GIF (palette built
+    from the image's distinct colors; must be <= 256)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    n = len(colors)
+    assert n <= 256
+    depth = max(1, (int(n) - 1).bit_length())
+    pal = np.zeros((2**depth, 3), dtype=np.uint8)
+    pal[:n] = colors
+    mc = min_code if min_code is not None else max(2, depth)
+    rows = idx.reshape(h, w)
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = rows[order]
+    data = _lzw_encode([int(v) for v in rows.reshape(-1)], mc)
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    out += bytes([mc])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_lzw_roundtrip_random_streams():
+    import random
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _lzw_decode,
+    )
+
+    rng = random.Random(99)
+    for min_code in (2, 4, 8):
+        for run in range(3):
+            n = rng.randint(1, 3000)
+            # mix runs (dict growth) and noise (clear-free long streams)
+            seq = []
+            while len(seq) < n:
+                v = rng.randrange(1 << min_code)
+                seq.extend([v] * rng.randint(1, 9))
+            seq = seq[:n]
+            data = _lzw_encode(seq, min_code)
+            assert _lzw_decode(data, min_code, n) == seq
+
+
+def test_decode_image_pixels_gif_matches_bmp(spark):
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(3)
+    # 17 distinct colors over a 9x7 image (plus interlaced variant)
+    palette = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    px = palette[rng.integers(0, 17, size=(9, 7))]
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_bmp_bytes(px)), None, None, None),
+            (2, "image", bytearray(_gif_bytes(px)), None, None, None),
+            (3, "image", bytearray(_gif_bytes(px, interlaced=True)), None, None, None),
+            (4, "image", bytearray(b"GIF89a junk not an image"), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in decode_image_pixels(media).collect()}
+    assert out[2].format == "gif" and (out[2].px_width, out[2].px_height) == (7, 9)
+    assert out[2].mean_rgb == pytest.approx(list(out[1].mean_rgb), abs=1e-9)
+    assert out[2].thumb == pytest.approx(list(out[1].thumb), abs=1e-5)
+    # interlaced frame decodes to the identical image
+    assert out[3].thumb == pytest.approx(list(out[1].thumb), abs=1e-5)
+    assert out[4].px_width is None

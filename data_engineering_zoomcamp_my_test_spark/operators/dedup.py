@@ -1169,6 +1169,89 @@ def c57_jaccard_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Duplicated-span detection: the maximal runs of >= ``k`` consecutive
+    tokens that appear verbatim in 2+ documents — the exact-substring
+    formulation of training-data dedup (find repeated passages, then cut
+    or down-weight them), as opposed to the whole-document near-dup
+    operators (c17/c6/c27). Published corpus studies do this with a
+    suffix array on one big machine; the distributed re-expression is
+    pair-free and join-keyed:
+
+    1. one linear pass builds every k-gram with its 1-based token
+       position (JVM ``transform``/``sequence``/``slice`` — whole-stage
+       codegen, no Python);
+    2. grams seen in >= 2 distinct docs survive a partial-aggregating
+       groupBy on the gram (keyed shuffle #1);
+    3. a 1:N join marks the surviving positions (keyed shuffle #2 — the
+       dup side is distinct grams, so no row blowup beyond the marks);
+    4. per-doc island detection (lag-gap cumsum over one doc_id window,
+       keyed shuffle #3) merges overlapping/touching grams — positions
+       within ``k`` of each other — into maximal spans.
+
+    Output per (doc, span): 1-based inclusive token bounds, token length,
+    and the number of duplicated grams merged into it. Nothing quadratic:
+    work is linear in total token count, and every shuffle is keyed.
+    At 100 TB the gram strings dominate shuffle width — set
+    ``hash_grams=True`` to shuffle 64-bit ``xxhash64`` keys instead
+    (collision odds 2^-64 per the standard fingerprinting argument);
+    results are identical on collision-free corpora
+    (differential-tested)."""
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    gram_expr = (
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> array_join(slice(t, i, {k}), ' '))"
+    )
+    from pyspark.sql.window import Window
+
+    grams = toks.select(
+        "doc_id", F.posexplode(F.expr(gram_expr)).alias("off", "gram")
+    ).select(
+        "doc_id", (F.col("off") + 1).cast("bigint").alias("pos"), "gram"
+    )
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    marks = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1)
+    return (
+        marks.withColumn("grp", F.sum(brk).over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+            "n_dup_grams",
+        )
+    )
+
+
+def c62_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated 5-token spans across the documents corpus."""
+    return dup_spans(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def c47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment from a content hash — the
     reproducible split a training pipeline needs (no RNG, no state: the
@@ -1201,6 +1284,7 @@ QUERIES = {
     "c47_hash_split": c47_hash_split,
     "c56_ngram_jaccard_pairs": c56_ngram_jaccard_pairs,
     "c57_jaccard_pair_count": c57_jaccard_pair_count,
+    "c62_dup_spans": c62_dup_spans,
 }
 
 _JACCARD_EDGES_SQL = """
@@ -1384,5 +1468,40 @@ ORACLE = {
     "c57_jaccard_pair_count": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM ({_JACCARD_EDGES_SQL}) edges
+    """,
+    "c62_dup_spans": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(t[i:i+4], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+          WHERE len(t) >= 5
+        ),
+        dup AS (
+          SELECT gram FROM grams GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        marks AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                      THEN 0 ELSE 1 END AS brk
+          FROM marks
+        ),
+        grouped AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged
+        )
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_dup_grams
+        FROM grouped GROUP BY doc_id, grp
     """,
 }

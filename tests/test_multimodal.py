@@ -826,3 +826,73 @@ def test_decode_image_pixels_jpeg_matches_bmp(spark):
         want = np.asarray(out[1].thumb)
         assert float(np.abs(got - want).max()) < 6.0
     assert out[4].px_width is None and out[4].mean_rgb is None
+
+
+# ---------------------------------------------------------------- AVI video
+
+
+def _avi_bytes(frames, compressed_at=()):
+    """Minimal RIFF AVI: LIST hdrl (avih with dims/frame count) + LIST movi
+    of 00db chunks holding uncompressed bottom-up BGR DIB frames (00dc for
+    indices in ``compressed_at``, standing in for codec'd frames)."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 40_000, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(chunk(b"avih", avih))) + b"hdrl"
+    hdrl += chunk(b"avih", avih)
+    stride = ((24 * w + 31) // 32) * 4
+    movi_body = b"movi"
+    for i, f in enumerate(frames):
+        bgr = np.ascontiguousarray(f[::-1, :, ::-1]).astype(np.uint8)
+        rows = b"".join(
+            bgr[r].tobytes() + b"\x00" * (stride - 3 * w) for r in range(h)
+        )
+        cc = b"00dc" if i in compressed_at else b"00db"
+        movi_body += chunk(cc, rows)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_sample_video_frames_real_avi(spark):
+    """Six distinct solid-color frames, sample 3: even spacing must pick
+    frames 0/2/4 and their decoded means must match the planted colors;
+    a compressed (00dc) pick yields a null-mean row; junk payloads vanish."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    colors = [(250, 10, 10), (10, 250, 10), (10, 10, 250),
+              (200, 200, 0), (0, 200, 200), (120, 120, 120)]
+    frames = [np.full((6, 5, 3), c, dtype=np.uint8) for c in colors]
+    rows = [
+        (1, "video", bytearray(_avi_bytes(frames)), None, None, None),
+        (2, "video", bytearray(_avi_bytes(frames, compressed_at={2})), None, None, None),
+        (3, "video", bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk"), None, None, None),
+        (4, "video", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(media, n_frames=3).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    assert {r.media_id for r in out} == {1, 2}
+    assert all(r.n_frames_total == 6 for r in out)
+    for fi, color in zip(range(3), (colors[0], colors[2], colors[4])):
+        r = by_key[(1, fi)]
+        assert (r.px_width, r.px_height) == (5, 6)
+        assert r.mean_rgb == pytest.approx(list(map(float, color)), abs=1e-9)
+    # sampled index 1 -> source frame 2, which is 00dc: row kept, means null
+    assert by_key[(2, 1)].mean_rgb is None
+    assert by_key[(2, 0)].mean_rgb == pytest.approx(list(map(float, colors[0])))

@@ -660,3 +660,60 @@ def test_resample_ffill_fills_gaps_with_last_value(spark):
     assert [r["is_gap"] for r in u1] == [False, False, True, True, False]
     assert len([k for k in out if k[0] == 2]) == 1
     assert out[(2, base + 2 * 3600)]["v_filled"] == 1.0
+
+
+def test_dup_spans_planted_boundaries(spark):
+    """Two docs share one exact 12-token passage; a third doc carries two
+    short excerpts of it. Expect exactly the maximal merged spans with
+    1-based inclusive bounds, in every doc that holds a duplicated run."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import dup_spans
+
+    shared = [f"s{i}" for i in range(12)]
+    a = [f"a{i}" for i in range(20)] + shared + [f"A{i}" for i in range(10)]
+    b = [f"b{i}" for i in range(5)] + shared + [f"B{i}" for i in range(3)]
+    # c: one 5-token excerpt (one gram) + one 6-token excerpt (two grams),
+    # separated by enough unique filler that the spans must NOT merge
+    c = (
+        [f"c{i}" for i in range(4)]
+        + shared[:5]
+        + [f"C{i}" for i in range(9)]
+        + shared[6:12]
+        + ["cz"]
+    )
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_dup_grams)
+        for r in dup_spans(docs, k=5).collect()
+    }
+    assert got == {
+        (1, 21, 32, 12, 8),  # doc a: shared block at tokens 21..32
+        (2, 6, 17, 12, 8),  # doc b: same block at tokens 6..17
+        (3, 5, 9, 5, 1),  # doc c: 5-token excerpt -> single gram
+        (3, 19, 24, 6, 2),  # doc c: 6-token excerpt -> two grams, merged
+    }
+
+
+def test_dup_spans_merges_touching_runs(spark):
+    """Positions within k of each other merge into one span even when the
+    duplicated grams come from different partner docs."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import dup_spans
+
+    p1 = ["p1", "p2", "p3", "p4", "p5"]
+    p2 = ["q1", "q2", "q3", "q4", "q5"]
+    # doc 1 holds p1-block immediately followed by q-block: gap == k -> merge
+    d1 = ["x1", "x2"] + p1 + p2 + ["x3"]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(d1)),
+            (2, " ".join(["y1"] + p1 + ["y2", "y3"])),
+            (3, " ".join(["z1", "z2", "z3"] + p2)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dup_spans(docs, k=5).collect()}
+    assert (rows[1].span_start, rows[1].span_end, rows[1].n_dup_grams) == (3, 12, 2)
+    assert (rows[2].span_start, rows[2].span_end) == (2, 6)
+    assert (rows[3].span_start, rows[3].span_end) == (4, 8)

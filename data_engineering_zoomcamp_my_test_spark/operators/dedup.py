@@ -1252,6 +1252,52 @@ def c62_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def cut_dup_spans(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """The dedup ACTION for c62's findings: rewrite each document with its
+    duplicated >=k-token spans removed — what a training pipeline actually
+    does with repeated passages (cut them once the duplicate map is known).
+
+    Plan: spans aggregate to one array per affected doc (keyed shuffle on
+    doc_id), left-join back to the corpus (affected docs are typically a
+    small fraction — AQE broadcasts when so), and the rewrite is a pure
+    JVM higher-order expression (``filter``/``transform`` over the token
+    array against the span list) — no Python, no explode, one row in/one
+    row out. Docs with no duplicated span pass through with
+    ``n_removed = 0``; NULL texts stay NULL."""
+    spans = dup_spans(docs, text_col=text_col, k=k)
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.array("span_start", "span_end")).alias("sp")
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("t")
+    )
+    keep_expr = (
+        "filter(sequence(1, size(t)), i -> size(filter("
+        "coalesce(sp, cast(array() as array<array<bigint>>)), "
+        "s -> i >= s[0] AND i <= s[1])) = 0)"
+    )
+    null_t = F.col("t").isNull()
+    return (
+        toks.join(agg, "doc_id", "left")
+        .withColumn("keep", F.when(~null_t, F.expr(keep_expr)))
+        .select(
+            "doc_id",
+            F.when(
+                ~null_t,
+                F.expr("array_join(transform(keep, i -> element_at(t, i)), ' ')"),
+            ).alias("clean_text"),
+            F.when(~null_t, F.size("t") - F.size("keep"))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def c63_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rewritten with their duplicated 5-token spans cut."""
+    return cut_dup_spans(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def c47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment from a content hash — the
     reproducible split a training pipeline needs (no RNG, no state: the
@@ -1285,6 +1331,7 @@ QUERIES = {
     "c56_ngram_jaccard_pairs": c56_ngram_jaccard_pairs,
     "c57_jaccard_pair_count": c57_jaccard_pair_count,
     "c62_dup_spans": c62_dup_spans,
+    "c63_cut_dup_spans": c63_cut_dup_spans,
 }
 
 _JACCARD_EDGES_SQL = """
@@ -1308,6 +1355,42 @@ _JACCARD_EDGES_SQL = """
                     / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
           ) j
 """
+
+_DUP_SPANS_SQL = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(t[i:i+4], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+          WHERE len(t) >= 5
+        ),
+        dup AS (
+          SELECT gram FROM grams GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        marks AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                      THEN 0 ELSE 1 END AS brk
+          FROM marks
+        ),
+        grouped AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged
+        )
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_dup_grams
+        FROM grouped GROUP BY doc_id, grp
+    """
 
 ORACLE = {
     "c1_dedup_exact": """
@@ -1469,39 +1552,29 @@ ORACLE = {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM ({_JACCARD_EDGES_SQL}) edges
     """,
-    "c62_dup_spans": """
-        WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS t
-          FROM documents WHERE text IS NOT NULL
+    "c62_dup_spans": _DUP_SPANS_SQL,
+    "c63_cut_dup_spans": f"""
+        WITH spans AS ({_DUP_SPANS_SQL}),
+        agg AS (
+          SELECT doc_id, list([span_start, span_end]) AS sp
+          FROM spans GROUP BY doc_id
         ),
-        grams AS (
-          SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                 array_to_string(t[i:i+4], ' ') AS gram
-          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
-          WHERE len(t) >= 5
-        ),
-        dup AS (
-          SELECT gram FROM grams GROUP BY gram
-          HAVING COUNT(DISTINCT doc_id) >= 2
-        ),
-        marks AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
-        flagged AS (
-          SELECT doc_id, pos,
-                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
-                      THEN 0 ELSE 1 END AS brk
-          FROM marks
-        ),
-        grouped AS (
-          SELECT doc_id, pos,
-                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS UNBOUNDED PRECEDING) AS grp
-          FROM flagged
+        dtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keepx AS (
+          SELECT d.doc_id, t,
+                 CASE WHEN t IS NULL THEN NULL ELSE
+                   list_filter(range(1, len(t) + 1),
+                     i -> len(list_filter(COALESCE(a.sp, []),
+                                          s -> i >= s[1] AND i <= s[2])) = 0)
+                 END AS keep
+          FROM dtoks d LEFT JOIN agg a USING (doc_id)
         )
         SELECT doc_id,
-               MIN(pos) AS span_start,
-               CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
-               CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS n_tokens,
-               COUNT(*) AS n_dup_grams
-        FROM grouped GROUP BY doc_id, grp
+               CASE WHEN t IS NULL THEN NULL ELSE
+                 COALESCE(array_to_string(list_transform(keep, i -> t[i]), ' '), '')
+               END AS clean_text,
+               CAST(len(t) - len(keep) AS BIGINT) AS n_removed
+        FROM keepx
     """,
 }
+

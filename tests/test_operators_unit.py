@@ -717,3 +717,30 @@ def test_dup_spans_merges_touching_runs(spark):
     assert (rows[1].span_start, rows[1].span_end, rows[1].n_dup_grams) == (3, 12, 2)
     assert (rows[2].span_start, rows[2].span_end) == (2, 6)
     assert (rows[3].span_start, rows[3].span_end) == (4, 8)
+
+
+def test_cut_dup_spans_planted(spark):
+    """The cut is surgical: only span tokens go, order and the rest of the
+    text survive, span-less docs pass through untouched, and a fully
+    duplicated doc empties to '' (not NULL); NULL text stays NULL."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import cut_dup_spans
+
+    shared = [f"s{i}" for i in range(7)]
+    a = ["a1", "a2"] + shared + ["a3"]
+    b = ["b1"] + shared + ["b2", "b3"]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(a)),
+            (2, " ".join(b)),
+            (3, " ".join(shared)),  # nothing but the shared run
+            (4, "u1 u2 u3 u4 u5 u6"),  # unique -> untouched
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cut_dup_spans(docs, k=5).collect()}
+    assert (got[1].clean_text, got[1].n_removed) == ("a1 a2 a3", 7)
+    assert (got[2].clean_text, got[2].n_removed) == ("b1 b2 b3", 7)
+    assert (got[3].clean_text, got[3].n_removed) == ("", 7)
+    assert (got[4].clean_text, got[4].n_removed) == ("u1 u2 u3 u4 u5 u6", 0)
+    assert got[5].clean_text is None and got[5].n_removed is None

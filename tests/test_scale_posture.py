@@ -262,3 +262,31 @@ def test_shard_assign_single_export_shuffle(spark, sf_small):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_dup_spans_keyed_shuffles_no_cartesian(spark, sf_small):
+    """c62's contract: every exchange is keyed on gram or doc_id (the
+    pair-free exact-substring plan — no pairwise join, no cartesian),
+    and the gram build is a single linear scan."""
+    import re
+
+    df = all_queries()["c62_dup_spans"](spark, sf_small)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    hash_parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert hash_parts
+    for part in hash_parts:
+        cols = {c.split("#")[0].strip() for c in part.split(",")[:-1]}
+        assert cols <= {"gram", "doc_id"}, f"unexpected shuffle key: {part}"
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) <= 2
+
+
+def test_cut_dup_spans_rewrite_is_projection_after_join(spark, sf_small):
+    """c63: the rewrite itself must be a higher-order projection — no
+    Python evals anywhere, one doc_id join back to the corpus."""
+    df = all_queries()["c63_cut_dup_spans"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

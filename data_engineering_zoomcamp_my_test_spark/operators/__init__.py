@@ -18,10 +18,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, dedup, events, relational, similarity, text, transforms
+from . import (
+    analytics,
+    curation,
+    dedup,
+    events,
+    relational,
+    similarity,
+    text,
+    transforms,
+)
 
 
-_MODULES = (transforms, relational, dedup, similarity, text, events, analytics)
+_MODULES = (
+    transforms, relational, dedup, similarity, text, events, analytics, curation
+)
 
 # Registry order is part of the external verification contract: the driver
 # oracle-checks the first ~50 entries of ``queries()``.  Every SURVEY §2

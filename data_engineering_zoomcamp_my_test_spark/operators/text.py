@@ -323,7 +323,9 @@ def c58_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
-def shard_assign(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+def shard_assign(
+    docs: DataFrame, n_shards: int = 64, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Deterministic global shuffle + shard layout for training export:
     every document gets a (shard_id, shard_pos) via a portable Knuth
     multiplicative hash of its id — the same layout on any cluster, any
@@ -337,10 +339,10 @@ def shard_assign(docs: DataFrame, n_shards: int = 64) -> DataFrame:
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
     return (
-        docs.select("doc_id", h.alias("h"))
+        docs.select("doc_id", *keep_cols, h.alias("h"))
         .withColumn("shard_id", (F.col("h") % n_shards).cast("int"))
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
-        .select("doc_id", "shard_id", "shard_pos")
+        .select("doc_id", *keep_cols, "shard_id", "shard_pos")
     )
 
 

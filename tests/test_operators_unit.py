@@ -744,3 +744,83 @@ def test_cut_dup_spans_planted(spark):
     assert (got[3].clean_text, got[3].n_removed) == ("", 7)
     assert (got[4].clean_text, got[4].n_removed) == ("u1 u2 u3 u4 u5 u6", 0)
     assert got[5].clean_text is None and got[5].n_removed is None
+
+
+def test_curate_corpus_each_gate_fires(spark):
+    """Planted corpus where every pipeline stage has exactly one victim:
+    a short doc (length gate), a function-word-free doc (language gate),
+    a normalized exact duplicate (dedup), a benchmark near-copy
+    (decontamination), while a clean doc and a mildly-overlapping doc
+    survive with correct shard placement."""
+    from data_engineering_zoomcamp_my_test_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    bench_text = (
+        "the capital of france is paris and the capital of italy is rome"
+    )
+    heldout = spark.createDataFrame(
+        [(900, "bench", bench_text, len(bench_text))],
+        "doc_id long, source string, text string, n_chars int",
+    )
+    good = "the growth of modern machines is driven by the steady flow of data"
+    dup = "The growth, of modern machines is driven by the steady flow of data"
+    mild = (
+        "the capital of france is paris which many of the travel guides "
+        "describe at length for visitors"
+    )
+    rows = [
+        (1, "srcA", good),
+        (2, "srcA", dup),          # normalizes to doc 1's text -> dedup drop
+        (3, "srcA", "hi there you"),  # < 5 tokens -> length gate
+        (4, "srcA", "zxqv plomb kreft vnmx bardle quint seven eight nine ten"),
+        (5, "srcA", f"intro words {bench_text} closing words"),  # 11 shared
+        (6, "srcB", mild),         # 4 shared shingles <= 7 -> survives
+    ]
+    corpus = spark.createDataFrame(
+        [(i, s, t, len(t)) for i, s, t in rows],
+        "doc_id long, source string, text string, n_chars int",
+    )
+    got = {r["doc_id"]: r for r in curate_corpus(corpus, heldout).collect()}
+    assert set(got) == {1, 6}
+    for doc_id, r in got.items():
+        expect_shard = (doc_id * 2654435761 % 4294967296) % 16
+        assert r["shard_id"] == expect_shard
+        assert r["shard_pos"] == 0  # distinct shards here, both first
+    assert got[1]["n_tok"] == 13 and got[1]["source"] == "srcA"
+
+
+def test_curate_corpus_budget_caps_each_source(spark):
+    """30 gate-passing docs of 13 tokens each in one source: the 800-token
+    budget admits exactly floor(800/13) = 61 ... no — 13*61 > 800; it
+    admits floor(800/13) = 61?  13*61=793 <= 800 -> 61, but only 30 exist,
+    so ALL are admitted; with budget 100 only floor(100/13) = 7 survive,
+    chosen in md5(text) admission order."""
+    import hashlib
+
+    from data_engineering_zoomcamp_my_test_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    heldout = spark.createDataFrame(
+        [(900, "bench", "completely unrelated benchmark content", 38)],
+        "doc_id long, source string, text string, n_chars int",
+    )
+    base = "the growth of modern machines is driven by the steady flow of"
+    texts = [(i, f"{base} v{i:02d}") for i in range(30)]
+    corpus = spark.createDataFrame(
+        [(i, "srcX", t, len(t)) for i, t in texts],
+        "doc_id long, source string, text string, n_chars int",
+    )
+    got = curate_corpus(corpus, heldout, budget_tokens=100).collect()
+    assert len(got) == 7  # floor(100 / 13)
+    expected_order = sorted(texts, key=lambda it: (hashlib.md5(it[1].encode()).hexdigest(), it[0]))
+    assert {r["doc_id"] for r in got} == {i for i, _ in expected_order[:7]}
+    # shard positions are a permutation of 0..k-1 within each shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in got:
+        by_shard[r["shard_id"]].append(r["shard_pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))

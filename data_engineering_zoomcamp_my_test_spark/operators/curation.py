@@ -86,11 +86,18 @@ def curate_corpus(
 
     nt = normalized_text("text")
     w = Window.partitionBy("nt")
+    # localCheckpoint: ``deduped`` feeds two consumers (the shingle-hits
+    # branch and the survivor join) and Spark does not reuse the window
+    # exchange across them — without materialization the corpus scan +
+    # dedup shuffle would run TWICE (verified in the executed plan:
+    # duplicate Exchange(nt) nodes). One materialization of the pruned
+    # survivor set beats a second full-corpus pass at any scale.
     deduped = (
         gated.withColumn("nt", nt)
         .withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("rep"))
         .drop("nt", "rep")
+        .localCheckpoint()
     )
 
     # Stage 4: decontamination. Held-out distinct shingles broadcast; the

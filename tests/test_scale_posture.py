@@ -290,3 +290,23 @@ def test_cut_dup_spans_rewrite_is_projection_after_join(spark, sf_small):
     plan = explain_str(df, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_scale_shape(spark, sf_small):
+    """c64's contract: zero Python rows, zero cartesians, the held-out
+    shingle side broadcast, and every post-checkpoint shuffle keyed on a
+    pipeline key (sh / doc_id / source / shard_id) — never on text. The
+    dedup subtree is materialized once (localCheckpoint), so no nt
+    exchange may appear in the final plan."""
+    import re
+
+    df = all_queries()["c64_curation_pipeline"](spark, sf_small)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    hash_parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for part in hash_parts:
+        cols = {c.split("#")[0].strip() for c in part.split(",")[:-1]}
+        assert cols <= {"sh", "doc_id", "source", "shard_id"}, part

@@ -389,6 +389,58 @@ def c60_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
+def bigram_stats(docs: DataFrame, top_heads: int = 50) -> DataFrame:
+    """Corpus bigram continuation statistics: for the ``top_heads`` most
+    frequent head words, the number of distinct continuations, total
+    continuation count, and the most likely next word with its conditional
+    probability P(w2 | w1) — the language-model-flavored corpus profile
+    (continuation entropy drives tokenizer/vocab decisions and is the
+    standard smell test for template-generated text, which shows abnormally
+    peaked continuation distributions).
+
+    Plan: one explode of consecutive-pair structs (JVM ``transform`` over
+    ``sequence`` — docs shorter than 2 tokens are filtered first because
+    Spark's ``sequence(1, 0)`` counts DOWN, not empty), one (w1, w2)
+    groupBy, then a partial-aggregating ``min_by`` argmax per head — the
+    same window-free top-1 pattern as c37. No Python, no window sort over
+    the bigram stream."""
+    toks = docs.select(F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = toks.select(
+        F.expr(
+            "explode(transform(sequence(1, size(w) - 1), "
+            "i -> struct(w[i-1] AS w1, w[i] AS w2)))"
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n_cont"),
+        F.sum("c").alias("n_total"),
+        F.min_by(
+            F.struct("w2", "c"),
+            F.struct((-F.col("c")).alias("_a"), F.col("w2").alias("_b")),
+        ).alias("_best"),
+    )
+    return (
+        agg.select(
+            "w1",
+            F.col("n_cont").cast("long").alias("n_cont"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("_best.w2").alias("top_w2"),
+            F.round(
+                F.col("_best.c").cast("double") / F.col("n_total"), 6
+            ).alias("top_prob"),
+        )
+        .orderBy(F.col("n_total").desc(), "w1")
+        .limit(top_heads)
+    )
+
+
+def c65_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_stats(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "c5_text_stats": c5_text_stats,
     "c49_token_budget_mix": c49_token_budget_mix,
@@ -403,6 +455,7 @@ QUERIES = {
     "c58_repetition_stats": c58_repetition_stats,
     "c59_shard_assign": c59_shard_assign,
     "c60_mixture_weights": c60_mixture_weights,
+    "c65_bigram_stats": c65_bigram_stats,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -583,5 +636,30 @@ ORACLE = {
                      ch -> CAST(ascii(ch) AS BIGINT))),
                  (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
         FROM documents
+    """,
+    "c65_bigram_stats": """
+        WITH t AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)
+        ),
+        cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        agg AS (
+          SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_cont,
+                 CAST(SUM(c) AS BIGINT) AS n_total
+          FROM cnt GROUP BY 1
+        ),
+        top AS (
+          SELECT w1, w2, c, ROW_NUMBER() OVER (
+            PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+          FROM cnt
+        )
+        SELECT agg.w1, n_cont, n_total, top.w2 AS top_w2,
+               ROUND(CAST(top.c AS DOUBLE) / n_total, 6) AS top_prob
+        FROM agg JOIN top ON agg.w1 = top.w1 AND top.rn = 1
+        ORDER BY n_total DESC, agg.w1 LIMIT 50
     """,
 }

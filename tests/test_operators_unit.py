@@ -824,3 +824,22 @@ def test_curate_corpus_budget_caps_each_source(spark):
         by_shard[r["shard_id"]].append(r["shard_pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_bigram_stats_known_values(spark):
+    """'a b', 'a b', 'a c', 'b a' -> heads: a (3 continuations total:
+    b,b,c), b (1: a). Top continuation of 'a' is 'b' with P=2/3; short
+    docs (<2 tokens) contribute nothing (guards Spark's descending
+    sequence(1, 0) footgun)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import bigram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b a"), (5, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["w1"]: r for r in bigram_stats(docs).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n_cont"] == 2 and got["a"]["n_total"] == 3
+    assert got["a"]["top_w2"] == "b" and abs(got["a"]["top_prob"] - 0.666667) < 1e-9
+    assert got["b"]["n_cont"] == 1 and got["b"]["n_total"] == 1
+    assert got["b"]["top_w2"] == "a" and got["b"]["top_prob"] == 1.0

@@ -263,3 +263,27 @@ print("SELF_CONTAINED_OK")
         cwd=str(tmp_path),
     )
     assert "SELF_CONTAINED_OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_curate_corpus_empty_heldout_and_empty_corpus(spark):
+    """No benchmark -> nothing is contaminated (LEFT join semantics, not
+    an accidental inner join); an all-filtered corpus yields an empty,
+    correctly-typed frame rather than an error."""
+    from data_engineering_zoomcamp_my_test_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    schema = "doc_id long, source string, text string, n_chars int"
+    good = "the growth of modern machines is driven by the steady flow of data"
+    corpus = spark.createDataFrame([(1, "srcA", good, len(good))], schema)
+    empty_held = spark.createDataFrame([], schema)
+
+    got = curate_corpus(corpus, empty_held).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+    junk = spark.createDataFrame([(2, "srcA", "xy", 2)], schema)
+    out = curate_corpus(junk, empty_held)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "source", "n_tok", "shard_id", "shard_pos",
+    ]

@@ -255,8 +255,39 @@ def c22_hourly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of c7, as a DRIVER-VERIFIED decl: the
+    events table is re-landed as micro-precision parquet file drops,
+    replayed through the watermarked streaming aggregation
+    (``streaming/windows.py`` — maxFilesPerTrigger micro-batches,
+    complete mode, memory sink), and the stream's FINAL state is
+    returned. Because the final state of a complete-mode windowed agg
+    over a replayed bounded source must equal the batch answer, this
+    decl puts the streaming execution path itself under the exact DuckDB
+    oracle (c7's SQL) — not just under the repo's own parity tests."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import run_streaming_tumbling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = tempfile.mkdtemp(prefix="c66_drops_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        out = run_streaming_tumbling_agg(
+            spark, drop_dir, query_name=f"c66_out_{uuid.uuid4().hex[:8]}"
+        )
+    finally:
+        # The memory sink materializes the result; the drops are dead
+        # weight the moment the query stops.
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "c7_tumbling": c7_tumbling,
+    "c66_streaming_tumbling": c66_streaming_tumbling,
     "c8_sliding": c8_sliding,
     "c9_session": c9_session,
     "c10_json_extract": c10_json_extract,
@@ -294,6 +325,14 @@ ORACLE = {
                event_type, COUNT(*) AS n_events,
                {_MONEY_SUM_VALUE} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # The streaming twin must converge to the exact batch answer — same
+    # oracle as c7 (driver compare is order-insensitive).
+    "c66_streaming_tumbling": f"""
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+               event_type, COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM events GROUP BY 1, 2
     """,
     "c8_sliding": f"""
         WITH starts AS (

@@ -843,3 +843,30 @@ def test_bigram_stats_known_values(spark):
     assert got["a"]["top_w2"] == "b" and abs(got["a"]["top_prob"] - 0.666667) < 1e-9
     assert got["b"]["n_cont"] == 1 and got["b"]["n_total"] == 1
     assert got["b"]["top_w2"] == "a" and got["b"]["top_prob"] == 1.0
+
+
+def test_dup_spans_hash_grams_differential(spark, sf_small):
+    """The scale arm (hash_grams=True: 64-bit xxhash64 shuffle keys
+    instead of gram strings) must produce the exact same span set as the
+    string-keyed default on a collision-free corpus — both on real
+    testdata and on a planted multi-span case."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import dup_spans
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plain = sorted(map(tuple, dup_spans(docs).collect()))
+    hashed = sorted(map(tuple, dup_spans(docs, hash_grams=True).collect()))
+    assert plain == hashed
+    assert len(plain) > 0
+
+    planted = spark.createDataFrame(
+        [
+            (1, "x1 x2 shared run of five tokens here y1 y2"),
+            (2, "a1 shared run of five tokens here b1 b2 b3"),
+            (3, "no overlap at all in this one document"),
+        ],
+        "doc_id long, text string",
+    )
+    p = sorted(map(tuple, dup_spans(planted).collect()))
+    h = sorted(map(tuple, dup_spans(planted, hash_grams=True).collect()))
+    assert p == h and len(p) == 2  # one span in each of docs 1 and 2

@@ -616,8 +616,74 @@ def c39_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def negative_sampling(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    query item, ``k`` pseudo-random corpus negatives chosen by a portable
+    multiplicative-hash chain over a DENSE id space — the same negatives
+    on any cluster, partitioning, or run (the property that makes
+    contrastive training reproducible and resumable).
+
+    neg_raw(j) = (id * 2654435761 + j * 97) mod N; a self-draw bumps to
+    the next id (mod N). Draws are i.i.d.-style, so two j's may repeat a
+    negative — kept (both engines agree; dedup would bias the draw count).
+    The output flags hard negatives (same label as the query), which is
+    the usual curriculum signal.
+
+    Requires ids dense in [0, N): asserted with the same one-aggregate
+    stats probe the collapse operators use; raises ValueError otherwise
+    (a ranked-id fallback would need a global sort — wrong default at
+    scale, and the export tables this feeds are dense by construction).
+
+    Plan: one stats aggregate, an explode of k rows per query, and ONE
+    keyed join of the (tiny) draw list against the corpus on the id —
+    AQE broadcasts the draw side. No window, no global sort, no Python.
+    """
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+    ).head()
+    n = row["n"]
+    if n == 0 or row["mn"] != 0 or row["mx"] != n - 1:
+        raise ValueError(
+            f"negative_sampling requires dense ids in [0, N); got "
+            f"min={row['mn']} max={row['mx']} count={n}"
+        )
+    draws = queries.select(
+        F.col(id_col),
+        F.col("label").alias("_qlabel"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).withColumn("j", F.col("j").cast("long"))
+    nraw = (F.col(id_col) * F.lit(2654435761) + F.col("j") * F.lit(97)) % F.lit(n)
+    nid = F.when(nraw == F.col(id_col), (nraw + 1) % F.lit(n)).otherwise(nraw)
+    draws = draws.select(
+        id_col, "_qlabel", "j", nid.cast("long").alias("neg_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neg_id"), F.col("label").alias("_nlabel")
+    )
+    return draws.join(corpus, "neg_id").select(
+        id_col,
+        "j",
+        "neg_id",
+        (F.col("_nlabel") == F.col("_qlabel")).alias("neg_same_label"),
+    )
+
+
+def c67_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 deterministic negatives for each of the first 100 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_sampling(emb, emb.filter(F.col("vec_id") < 100), k=4)
+
+
 QUERIES = {
     "c38_l2_normalize": c38_l2_normalize,
+    "c67_negative_sampling": c67_negative_sampling,
     "c39_quantize_int8": c39_quantize_int8,
     "c3_cosine_topk": c3_cosine_topk,
     "c13_knn_all": c13_knn_all,
@@ -640,6 +706,28 @@ _MAXABS = (
 )
 
 ORACLE = {
+    "c67_negative_sampling": """
+        WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+        draws AS (
+          SELECT vec_id, label AS qlabel,
+                 CAST(unnest(generate_series(1, 4)) AS BIGINT) AS j
+          FROM embeddings WHERE vec_id < 100
+        ),
+        raw AS (
+          SELECT vec_id, qlabel, j,
+                 (vec_id * 2654435761 + j * 97) % cnt AS nraw, cnt
+          FROM draws, n
+        ),
+        pick AS (
+          SELECT vec_id, qlabel, j,
+                 CAST(CASE WHEN nraw = vec_id THEN (nraw + 1) % cnt
+                      ELSE nraw END AS BIGINT) AS neg_id
+          FROM raw
+        )
+        SELECT p.vec_id, p.j, p.neg_id,
+               (e.label = p.qlabel) AS neg_same_label
+        FROM pick p JOIN embeddings e ON e.vec_id = p.neg_id
+    """,
     "c39_quantize_int8": f"""
         SELECT vec_id,
                round(127.0 / {_MAXABS}, 6) AS scale,

@@ -870,3 +870,35 @@ def test_dup_spans_hash_grams_differential(spark, sf_small):
     p = sorted(map(tuple, dup_spans(planted).collect()))
     h = sorted(map(tuple, dup_spans(planted, hash_grams=True).collect()))
     assert p == h and len(p) == 2  # one span in each of docs 1 and 2
+
+
+def test_negative_sampling_deterministic_and_self_bump(spark):
+    """With N=5, the hash chain reduces to (id + 2j) mod 5, so j=5 is a
+    guaranteed self-draw for every id and must bump to (id+1) mod 5.
+    Dense-id violation must raise, not silently mis-sample."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        negative_sampling,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)], i % 2) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = negative_sampling(emb, emb, k=5).collect()
+    assert len(got) == 25
+    by = {(r["vec_id"], r["j"]): r for r in got}
+    for i in range(5):
+        assert by[(i, 5)]["neg_id"] == (i + 1) % 5  # self-draw bumped
+        for j in range(1, 5):
+            assert by[(i, j)]["neg_id"] == (i + 2 * j) % 5
+            expect_same = ((i + 2 * j) % 5) % 2 == i % 2
+            assert by[(i, j)]["neg_same_label"] == expect_same
+
+    sparse = spark.createDataFrame(
+        [(0, [0.0], 0), (2, [1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="dense"):
+        negative_sampling(sparse, sparse)

@@ -777,7 +777,7 @@ PIXELS_SCHEMA = (
 _THUMB_BINS = 4
 
 
-def decode_image_pixels(media: DataFrame) -> DataFrame:
+def decode_image_pixels(media: DataFrame, bins: int = _THUMB_BINS) -> DataFrame:
     """REAL (non-stubbed) pixel decode -> feature-extract -> resize for the
     two raster formats decodable with pure stdlib + numpy:
 
@@ -805,8 +805,6 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
     spec (Sub/Paeth depend on the previous pixel) — production swaps this
     inner function for PIL/turbojpeg without touching the distributed
     plan. Payloads never leave the executor; batches stream via Arrow."""
-    bins = _THUMB_BINS
-
     def _decode_bmp(raw: bytes):
         import struct
 
@@ -1015,6 +1013,51 @@ def decode_image_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=PIXELS_SCHEMA)
+
+
+def image_ahash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs via 64-bit average-hash over
+    REAL decoded pixels — the image-side analogue of the text near-dup
+    family, reusing its banded-Hamming pair engine end to end:
+
+    1. ``decode_image_pixels(bins=8)`` decodes BMP/PNG/GIF/baseline-JPEG
+       bytes inside Arrow-batched ``mapInPandas`` and mean-pools to an
+       8x8 RGB grid (payloads never leave the executor);
+    2. the aHash is computed JVM-side from the 192-float thumbnail
+       (grayscale per cell, threshold at the image's own mean, 64 bits) —
+       no second Python pass;
+    3. pairing is ``dedup._simhash_band_pairs``: pigeonhole-guaranteed
+       banded candidate join + exact ``bit_count`` Hamming verify, so the
+       result is exact for the hash, never all-pairs, and inherits the
+       text path's tested recall contract.
+
+    Undecodable payloads hash to NULL and drop out of pairing (one bad
+    file cannot fail the job or pollute buckets). Output:
+    (media_id_a, media_id_b, hamming)."""
+    from .dedup import _simhash_band_pairs
+
+    px = decode_image_pixels(media, bins=8).filter(F.col("thumb").isNotNull())
+    gray = F.expr(
+        "transform(sequence(0, 63), "
+        "c -> (thumb[3*c] + thumb[3*c+1] + thumb[3*c+2]) / cast(3.0 as double))"
+    )
+    with_gray = px.select(
+        F.col("media_id").alias("doc_id"), gray.alias("g")
+    ).withColumn(
+        "g_mean",
+        F.expr("aggregate(g, cast(0.0 as double), (a, x) -> a + x)") / F.lit(64.0),
+    )
+    ahash = F.expr(
+        "aggregate(sequence(0, 63), 0L, "
+        "(acc, c) -> acc + IF(g[c] > g_mean, shiftleft(1L, c), 0L))"
+    )
+    sh = with_gray.select("doc_id", ahash.alias("simhash"))
+    n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    return _simhash_band_pairs(sh, max_hamming, n_bands).select(
+        F.col("doc_id_a").alias("media_id_a"),
+        F.col("doc_id_b").alias("media_id_b"),
+        "hamming",
+    )
 
 
 def filter_by_metadata(

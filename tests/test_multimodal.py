@@ -896,3 +896,36 @@ def test_sample_video_frames_real_avi(spark):
     # sampled index 1 -> source frame 2, which is 00dc: row kept, means null
     assert by_key[(2, 1)].mean_rgb is None
     assert by_key[(2, 0)].mean_rgb == pytest.approx(list(map(float, colors[0])))
+
+
+def test_image_ahash_pairs_finds_brightness_shift_not_inverse(spark):
+    """aHash thresholds each image at its own mean, so a global brightness
+    shift is hash-invariant (hamming 0) while an inverted pattern flips
+    every informative bit; corrupt payloads drop out instead of failing
+    the job or polluting buckets."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        image_ahash_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 2, (32, 32, 1)) * 200 + 20).astype(np.uint8)
+    base = np.repeat(base, 3, axis=2)  # random binary blocks, RGB
+    brighter = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    inverse = (255 - base).astype(np.uint8)
+
+    rows = [
+        (1, bytearray(_bmp_bytes(base))),
+        (2, bytearray(_bmp_bytes(brighter))),
+        (3, bytearray(_bmp_bytes(inverse))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in image_ahash_pairs(media, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 2
+    assert (1, 3) not in got and (2, 3) not in got
+    assert all(4 not in pair for pair in got)

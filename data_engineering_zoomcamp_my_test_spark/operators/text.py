@@ -441,6 +441,53 @@ def c65_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_stats(load_table(spark, sf_dir, "documents"))
 
 
+def oov_rate(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Tokenizer-coverage profile: fit a top-``vocab_size`` vocabulary on
+    the corpus itself (count desc, token asc — deterministic), then score
+    every document's out-of-vocabulary token fraction. This is the
+    fit-then-apply loop of tokenizer construction: the OOV tail tells you
+    whether the vocabulary budget fits the corpus before you train with it.
+
+    Plan: the vocabulary is one partial-aggregated groupBy + a bounded
+    top-k (TakeOrderedAndProject — never a full sort of the term space);
+    scoring is one explode joined against the (tiny, broadcast) vocab and
+    one per-doc aggregate. Corpus-sized shuffles: the (tok) count and the
+    (doc_id) rollup — both keyed, nothing quadratic, no Python."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def c68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV profile against a 20-token corpus-fit vocabulary (the synthetic
+    corpus draws from a ~31-word pool, so 20 leaves a real OOV tail for
+    the oracle to discriminate on)."""
+    return oov_rate(load_table(spark, sf_dir, "documents"), vocab_size=20)
+
+
 QUERIES = {
     "c5_text_stats": c5_text_stats,
     "c49_token_budget_mix": c49_token_budget_mix,
@@ -456,6 +503,7 @@ QUERIES = {
     "c59_shard_assign": c59_shard_assign,
     "c60_mixture_weights": c60_mixture_weights,
     "c65_bigram_stats": c65_bigram_stats,
+    "c68_oov_rate": c68_oov_rate,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -636,6 +684,25 @@ ORACLE = {
                      ch -> CAST(ascii(ch) AS BIGINT))),
                  (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
         FROM documents
+    """,
+    "c68_oov_rate": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, tok LIMIT 20
+          )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
     """,
     "c65_bigram_stats": """
         WITH t AS (

@@ -902,3 +902,19 @@ def test_negative_sampling_deterministic_and_self_bump(spark):
     )
     with pytest.raises(ValueError, match="dense"):
         negative_sampling(sparse, sparse)
+
+
+def test_oov_rate_known_vocab_cutoff(spark):
+    """vocab_size=2 on counts {a:4, b:3, c:2, d:1} fits {a, b}; doc OOV
+    rates follow exactly."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)
+    assert got[1]["oov_rate"] == 0.25
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 1)
+    assert (got[3]["n_tokens"], got[3]["n_oov"]) == (3, 1)

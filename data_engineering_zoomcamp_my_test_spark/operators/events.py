@@ -255,6 +255,50 @@ def c22_hourly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first active
+    ISO week; each (cohort, week offset) cell counts the cohort's users
+    still active that week, with the retention share vs the cohort's own
+    size — the canonical product-analytics rollup.
+
+    Plan: one (user_id, week) distinct + one min-week aggregate share the
+    user_id shuffle key; the cell rollup and the cohort-size join then run
+    over WEEKS x OFFSETS rows (bounded by the calendar, not the event
+    count — AQE broadcasts the size side). Week arithmetic stays in exact
+    day-difference integer math, portable to the oracle."""
+    wk = F.date_trunc("week", F.col("ts"))
+    active = events.select("user_id", wk.alias("wk")).distinct()
+    first = active.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cells = (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    size = cells.filter(F.col("week_offset") == 0).select(
+        "cohort", F.col("n_users").alias("_size")
+    )
+    return (
+        cells.join(size, "cohort")
+        .select(
+            F.unix_seconds(F.col("cohort")).alias("cohort_epoch_s"),
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("n_users").cast("double") / F.col("_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+def c69_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of c7, as a DRIVER-VERIFIED decl: the
     events table is re-landed as micro-precision parquet file drops,
@@ -288,6 +332,7 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
+    "c69_retention_cohorts": c69_retention_cohorts,
     "c8_sliding": c8_sliding,
     "c9_session": c9_session,
     "c10_json_extract": c10_json_extract,
@@ -319,6 +364,29 @@ ORACLE = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
                (o.v_obs IS NULL) AS is_gap
         FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    """,
+    "c69_retention_cohorts": """
+        WITH active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        ),
+        first AS (
+          SELECT user_id, MIN(wk) AS cohort FROM active GROUP BY 1
+        ),
+        cells AS (
+          SELECT cohort,
+                 CAST(datediff('day', cohort, wk) / 7 AS INT) AS week_offset,
+                 COUNT(DISTINCT a.user_id) AS n_users
+          FROM active a JOIN first USING (user_id)
+          GROUP BY 1, 2
+        ),
+        size AS (
+          SELECT cohort, n_users AS sz FROM cells WHERE week_offset = 0
+        )
+        SELECT CAST(epoch(c.cohort) AS BIGINT) AS cohort_epoch_s,
+               c.week_offset,
+               CAST(c.n_users AS BIGINT) AS n_users,
+               ROUND(CAST(c.n_users AS DOUBLE) / s.sz, 6) AS retention
+        FROM cells c JOIN size s USING (cohort)
     """,
     "c7_tumbling": f"""
         SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,

@@ -918,3 +918,32 @@ def test_oov_rate_known_vocab_cutoff(spark):
     assert got[1]["oov_rate"] == 0.25
     assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 1)
     assert (got[3]["n_tokens"], got[3]["n_oov"]) == (3, 1)
+
+
+def test_retention_cohorts_planted(spark):
+    """Two cohorts: users 1,2 first active week W0 (user 1 returns in W1),
+    user 3 first active in W1. Cells and retention shares are exact."""
+    import datetime as dt
+
+    from data_engineering_zoomcamp_my_test_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    w0 = dt.datetime(2024, 1, 1, 12, 0)   # Monday
+    w1 = dt.datetime(2024, 1, 8, 12, 0)   # next Monday
+    rows = [
+        (1, w0), (2, w0),                  # cohort W0
+        (1, w1),                           # user 1 retained in W1
+        (3, w1),                           # cohort W1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_epoch_s"], r["week_offset"]): r
+        for r in retention_cohorts(ev).collect()
+    }
+    e0 = int(dt.datetime(2024, 1, 1).timestamp())
+    e1 = int(dt.datetime(2024, 1, 8).timestamp())
+    assert got[(e0, 0)]["n_users"] == 2 and got[(e0, 0)]["retention"] == 1.0
+    assert got[(e0, 1)]["n_users"] == 1 and got[(e0, 1)]["retention"] == 0.5
+    assert got[(e1, 0)]["n_users"] == 1 and got[(e1, 0)]["retention"] == 1.0
+    assert len(got) == 3

@@ -711,8 +711,33 @@ def b36_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b46_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume customers): orders whose total line quantity
+    exceeds 300, joined back to orders/customer — the aggregate-derived
+    semi-join pattern (a HAVING subquery feeding a join). The per-order
+    rollup is partial-aggregated on l_orderkey and the >300 filter prunes
+    before either join; quantities accumulate in DECIMAL (exact on any
+    partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dmoney_sum(money("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "b1_filter_pred": b1_filter_pred,
+    "b46_q18_big_orders": b46_q18_big_orders,
     "b2_project_expr": b2_project_expr,
     "b3_groupby_agg": b3_groupby_agg,
     "b4_distinct": b4_distinct,
@@ -756,6 +781,20 @@ _MONEY = "DECIMAL(18,2)"
 _REV = f"CAST(l_extendedprice AS {_MONEY}) * (1 - CAST(l_discount AS {_MONEY}))"
 
 ORACLE = {
+    "b46_q18_big_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
     "b1_filter_pred": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         FROM lineitem

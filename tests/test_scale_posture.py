@@ -310,3 +310,34 @@ def test_curation_pipeline_scale_shape(spark, sf_small):
     for part in hash_parts:
         cols = {c.split("#")[0].strip() for c in part.split(",")[:-1]}
         assert cols <= {"sh", "doc_id", "source", "shard_id"}, part
+
+
+def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
+    """Catalog-wide guard: NO decl may plan a Python eval or an unkeyed
+    join except the documented whitelist — b11 (the cross-join decl
+    itself), b26 (single-row scalar-subquery broadcast), c3/c13/c37
+    (broadcast-one-side brute-force/constant joins, the stated design),
+    c6_minhash + c19 (the two deliberate Arrow-batched Python paths,
+    SURVEY B30). A new operator that quietly plans BatchEvalPython or a
+    cartesian fails here before it can ship."""
+    ALLOWED = {
+        "b11_cross": {"bnlj"},
+        "b26_cte": {"bnlj"},
+        "c3_cosine_topk": {"bnlj"},
+        "c13_knn_all": {"bnlj"},
+        "c37_tfidf_top_term": {"bnlj"},
+        "c6_minhash": {"python"},
+        "c19_ivf_knn": {"python"},
+    }
+    violations = {}
+    for name, fn in all_queries().items():
+        plan = fn(spark, sf_small)._jdf.queryExecution().sparkPlan().toString()
+        tags = set()
+        if "EvalPython" in plan:
+            tags.add("python")
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            tags.add("bnlj" if "BroadcastNestedLoopJoin" in plan else "cartesian")
+        extra = tags - ALLOWED.get(name, set())
+        if extra:
+            violations[name] = sorted(extra)
+    assert not violations, f"undocumented slow-path plans: {violations}"

@@ -481,6 +481,65 @@ def oov_rate(docs: DataFrame, vocab_size: int = 1000) -> DataFrame:
     )
 
 
+def length_drift_psi(
+    a: DataFrame, b: DataFrame, n_buckets: int = 10, bucket_width: int = 20
+) -> DataFrame:
+    """Population Stability Index between two corpus slices over the
+    token-length distribution — the drift monitor a production data
+    pipeline runs on every refresh (PSI > 0.2 is the conventional
+    "distribution shifted, investigate" alarm). Exact and engine-portable:
+    fixed-width buckets (capped at ``n_buckets``), epsilon-smoothed shares,
+    per-bucket contributions rounded at 6 decimals; the scalar PSI is the
+    SUM over the returned rows, so the evidence stays inspectable.
+
+    Plan: each slice pays one scan + one bounded groupBy(bucket); the
+    share/contribution math runs over <= ``n_buckets`` rows. Nothing is
+    corpus-sized after the first aggregate."""
+    eps = 1e-6
+
+    def bucketed(df: DataFrame, col: str) -> DataFrame:
+        ntok = F.size(F.split("text", " "))
+        bucket = F.least(
+            F.floor(ntok / bucket_width).cast("int"), F.lit(n_buckets - 1)
+        )
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(col)
+        )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    cells = (
+        bucketed(a, "n_a")
+        .join(bucketed(b, "n_b"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .withColumn("p_a", F.col("n_a") / F.sum("n_a").over(w) + F.lit(eps))
+        .withColumn("p_b", F.col("n_b") / F.sum("n_b").over(w) + F.lit(eps))
+    )
+    return cells.select(
+        "bucket",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")),
+            6,
+        ).alias("psi_contrib"),
+    )
+
+
+def c70_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length drift between the src1 and src2 corpus slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    return length_drift_psi(
+        docs.filter(F.col("source") == "src1"),
+        docs.filter(F.col("source") == "src2"),
+    )
+
+
 def c68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OOV profile against a 20-token corpus-fit vocabulary (the synthetic
     corpus draws from a ~31-word pool, so 20 leaves a real OOV tail for
@@ -504,6 +563,7 @@ QUERIES = {
     "c60_mixture_weights": c60_mixture_weights,
     "c65_bigram_stats": c65_bigram_stats,
     "c68_oov_rate": c68_oov_rate,
+    "c70_length_drift_psi": c70_length_drift_psi,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -684,6 +744,32 @@ ORACLE = {
                      ch -> CAST(ascii(ch) AS BIGINT))),
                  (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
         FROM documents
+    """,
+    "c70_length_drift_psi": """
+        WITH a AS (
+          SELECT LEAST(CAST(FLOOR(len(string_split(text, ' ')) / 20) AS INT), 9)
+                   AS bucket, COUNT(*) AS n_a
+          FROM documents WHERE source = 'src1' GROUP BY 1
+        ),
+        b AS (
+          SELECT LEAST(CAST(FLOOR(len(string_split(text, ' ')) / 20) AS INT), 9)
+                   AS bucket, COUNT(*) AS n_b
+          FROM documents WHERE source = 'src2' GROUP BY 1
+        ),
+        cells AS (
+          SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM a FULL JOIN b ON a.bucket = b.bucket
+        ),
+        shares AS (
+          SELECT bucket, n_a, n_b,
+                 CAST(n_a AS DOUBLE) / SUM(n_a) OVER () + 1e-6 AS p_a,
+                 CAST(n_b AS DOUBLE) / SUM(n_b) OVER () + 1e-6 AS p_b
+          FROM cells
+        )
+        SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_contrib
+        FROM shares
     """,
     "c68_oov_rate": """
         WITH toks AS (

@@ -947,3 +947,26 @@ def test_retention_cohorts_planted(spark):
     assert got[(e0, 1)]["n_users"] == 1 and got[(e0, 1)]["retention"] == 0.5
     assert got[(e1, 0)]["n_users"] == 1 and got[(e1, 0)]["retention"] == 1.0
     assert len(got) == 3
+
+
+def test_length_drift_psi_identical_and_shifted(spark):
+    """Identical distributions give (near-)zero PSI; a hard length shift
+    concentrates contributions in the vacated and occupied buckets."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        length_drift_psi,
+    )
+
+    short = [(i, "w " * 5) for i in range(50)]         # ~6 tokens -> bucket 0
+    long_ = [(i, "w " * 50) for i in range(50)]        # ~51 tokens -> bucket 2
+    a = spark.createDataFrame(short, "doc_id long, text string")
+    b_same = spark.createDataFrame(short, "doc_id long, text string")
+    b_shift = spark.createDataFrame(long_, "doc_id long, text string")
+
+    same = length_drift_psi(a, b_same).collect()
+    assert sum(abs(r["psi_contrib"]) for r in same) < 1e-9
+
+    shifted = {r["bucket"]: r for r in length_drift_psi(a, b_shift).collect()}
+    psi = sum(r["psi_contrib"] for r in shifted.values())
+    assert psi > 0.2  # conventional "shifted" alarm threshold
+    assert shifted[0]["n_a"] == 50 and shifted[0]["n_b"] == 0
+    assert shifted[2]["n_a"] == 0 and shifted[2]["n_b"] == 50

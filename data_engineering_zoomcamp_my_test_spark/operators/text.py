@@ -531,6 +531,49 @@ def length_drift_psi(
     )
 
 
+def feature_hashing(
+    docs: DataFrame, dim: int = 16
+) -> DataFrame:
+    """Feature generation via the hashing trick (Weinberger et al., ICML'09):
+    each token is hashed into one of ``dim`` feature slots with a +/-1 sign
+    bit, and a document's feature value is the signed token count — the
+    fixed-width featurization stage that turns raw text into model input
+    without a fitted vocabulary (collision-tolerant by construction, so it
+    needs no coordination at 100 TB: any worker can featurize any shard).
+
+    The hash is the engine-portable polynomial char fingerprint (same
+    arithmetic as c20), so the WHOLE featurization is oracle-verifiable —
+    slot = fp mod dim, sign from the next fingerprint bit. Output is the
+    long-format (doc_id, dim, value) feature matrix: exact, join-ready,
+    and trivially pivoted to arrays by a consumer.
+
+    Plan: one token explode, per-token JVM fingerprint arithmetic, one
+    partial-aggregated (doc_id, dim) rollup. No Python, no vocabulary
+    broadcast, nothing quadratic."""
+    fp = F.expr(
+        f"aggregate(split(tok, ''), 0L, "
+        f"(acc, ch) -> (acc * 31 + ascii(ch)) % {_FP_MOD})"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id",
+        (fp % dim).cast("int").alias("dim"),
+        F.when((fp / dim).cast("long") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("value"))
+        .select("doc_id", "dim", F.col("value").cast("double").alias("value"))
+    )
+
+
+def c71_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-slot hashed feature matrix over the documents corpus."""
+    return feature_hashing(load_table(spark, sf_dir, "documents"), dim=16)
+
+
 def c70_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length drift between the src1 and src2 corpus slices."""
     docs = load_table(spark, sf_dir, "documents")
@@ -564,6 +607,7 @@ QUERIES = {
     "c65_bigram_stats": c65_bigram_stats,
     "c68_oov_rate": c68_oov_rate,
     "c70_length_drift_psi": c70_length_drift_psi,
+    "c71_feature_hashing": c71_feature_hashing,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -744,6 +788,24 @@ ORACLE = {
                      ch -> CAST(ascii(ch) AS BIGINT))),
                  (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
         FROM documents
+    """,
+    "c71_feature_hashing": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(tok, ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
+          FROM toks WHERE tok <> ''
+        )
+        SELECT doc_id, CAST(fp % 16 AS INT) AS dim,
+               CAST(SUM(CASE WHEN (fp // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                 AS DOUBLE) AS value
+        FROM hashed GROUP BY 1, 2
     """,
     "c70_length_drift_psi": """
         WITH a AS (

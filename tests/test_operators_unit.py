@@ -970,3 +970,32 @@ def test_length_drift_psi_identical_and_shifted(spark):
     assert psi > 0.2  # conventional "shifted" alarm threshold
     assert shifted[0]["n_a"] == 50 and shifted[0]["n_b"] == 0
     assert shifted[2]["n_a"] == 0 and shifted[2]["n_b"] == 50
+
+
+def test_feature_hashing_known_values(spark):
+    """Signed counts: a doc with token 'a' repeated 3x lands 3*sign in
+    slot fp('a') % dim; two different tokens in the same slot cancel or
+    add per their sign bits; empty tokens from double spaces are ignored."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        _FP_MOD,
+        feature_hashing,
+    )
+
+    def fp(tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % _FP_MOD
+        return acc
+
+    docs = spark.createDataFrame(
+        [(1, "a a  a"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["dim"]): r["value"] for r in feature_hashing(docs, dim=4).collect()}
+    sa = 1 if (fp("a") // 4) % 2 == 0 else -1
+    sb = 1 if (fp("b") // 4) % 2 == 0 else -1
+    da, db = fp("a") % 4, fp("b") % 4
+    assert got[(1, da)] == 3 * sa
+    if da == db:
+        assert got[(2, da)] == sa + sb
+    else:
+        assert got[(2, da)] == sa and got[(2, db)] == sb

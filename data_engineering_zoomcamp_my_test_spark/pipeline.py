@@ -117,3 +117,75 @@ def fan_out(pipeline: Pipeline, param_sets: Iterable[dict]) -> list[dict]:
     """Run the whole pipeline once per parameter set (A21: the reference
     looped the full flow over a URL list)."""
     return [pipeline.run(p) for p in param_sets]
+
+
+@dataclass
+class Deployment:
+    """Parsed deployment spec (the reference's Prefect deployment YAML,
+    ``week_2/data_ingest/mainflow-deployment.yaml``): flow name, default
+    parameters, optional cron schedule, and the fan-out expansion the
+    reference applied to list-valued parameters (its ``url`` list re-ran
+    the whole flow per element, parametrized.py:386-402)."""
+
+    name: str
+    flow_name: str | None
+    parameters: dict
+    cron: str | None = None
+    description: str = ""
+
+    def param_sets(self) -> list[dict]:
+        """Expand every list-valued parameter into one parameter set per
+        combination (a single list — the reference's shape — yields one
+        set per element; multiple lists take the cartesian product)."""
+        import itertools
+
+        scalar = {k: v for k, v in self.parameters.items() if not isinstance(v, list)}
+        listed = {k: v for k, v in self.parameters.items() if isinstance(v, list)}
+        if not listed:
+            return [dict(scalar)]
+        keys = sorted(listed)
+        out = []
+        for combo in itertools.product(*(listed[k] for k in keys)):
+            ps = dict(scalar)
+            ps.update(zip(keys, combo))
+            out.append(ps)
+        return out
+
+    def run(self, pipeline: "Pipeline") -> list[dict]:
+        """Execute the pipeline once per expanded parameter set."""
+        return fan_out(pipeline, self.param_sets())
+
+
+def load_deployment(path: str) -> Deployment:
+    """Load a deployment YAML (reference shape: ``name``, ``parameters``,
+    ``schedule``, ``flow_name``/``entrypoint``). Two normalizations the
+    reference file itself needs: a bare ``None`` inside the flow-style
+    parameters map is YAML's *string* "None" (Python repr leaked into
+    YAML) and maps to Python ``None`` here; a schedule may be ``null`` or
+    a mapping carrying a ``cron`` key."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover — baked into this env
+        raise RuntimeError(
+            "deployment YAML support requires pyyaml; install it or build "
+            "the Deployment dataclass directly"
+        ) from exc
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    params = {
+        k: (None if v == "None" else v)
+        for k, v in (doc.get("parameters") or {}).items()
+    }
+    sched = doc.get("schedule")
+    cron = sched.get("cron") if isinstance(sched, dict) else None
+    flow = doc.get("flow_name")
+    if not flow and doc.get("entrypoint"):
+        flow = str(doc["entrypoint"]).split(":")[-1] or None
+    return Deployment(
+        name=str(doc.get("name", "deployment")),
+        flow_name=flow,
+        parameters=params,
+        cron=cron,
+        description=str(doc.get("description") or ""),
+    )

@@ -112,3 +112,57 @@ def test_spark_flow_composition(spark, sf_small, tmp_path):
     result = p.run({"sf_dir": sf_small})
     assert result["n"] > 0
     assert spark.read.parquet(result["out_path"]).columns[-1] == "transformation"
+
+
+def test_load_deployment_yaml_fanout_and_none_normalization(tmp_path):
+    """Deployment YAML in the reference's shape: flow-style parameters with
+    a leaked Python 'None', a list-valued param that fans out per element,
+    entrypoint-derived flow name, and a cron schedule mapping."""
+    from data_engineering_zoomcamp_my_test_spark.pipeline import (
+        Pipeline,
+        load_deployment,
+    )
+
+    spec = tmp_path / "dep.yaml"
+    spec.write_text(
+        "name: PARAMETRIZED\n"
+        "description: run the whole pipeline\n"
+        'parameters: {"name_table": "t1", "if_exists": "replace", '
+        '"url": ["u1", "u2", "u3"], "sql_query": None}\n'
+        "schedule:\n  cron: '0 3 * * *'\n"
+        "entrypoint: parametrized.py:mainflow\n"
+    )
+    dep = load_deployment(str(spec))
+    assert dep.name == "PARAMETRIZED"
+    assert dep.flow_name == "mainflow"
+    assert dep.cron == "0 3 * * *"
+    assert dep.parameters["sql_query"] is None  # 'None' string normalized
+
+    sets = dep.param_sets()
+    assert [p["url"] for p in sets] == ["u1", "u2", "u3"]
+    assert all(p["name_table"] == "t1" and p["sql_query"] is None for p in sets)
+
+    seen = []
+    pipe = Pipeline("dep-test")
+
+    @pipe.stage("record", retries=0)
+    def record(ctx):
+        seen.append(ctx["url"])
+        return {"done": True}
+
+    results = dep.run(pipe)
+    assert seen == ["u1", "u2", "u3"]
+    assert all(r["done"] for r in results)
+
+
+def test_load_deployment_null_schedule_no_lists(tmp_path):
+    from data_engineering_zoomcamp_my_test_spark.pipeline import load_deployment
+
+    spec = tmp_path / "dep2.yaml"
+    spec.write_text(
+        "name: simple\nparameters: {\"a\": 1}\nschedule: null\n"
+        "flow_name: myflow\n"
+    )
+    dep = load_deployment(str(spec))
+    assert dep.cron is None and dep.flow_name == "myflow"
+    assert dep.param_sets() == [{"a": 1}]

@@ -1060,6 +1060,68 @@ def image_ahash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def audio_envelope_hash_pairs(
+    media: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs for raw PCM16 payloads — the
+    audio twin of ``image_ahash_pairs``, completing near-dup symmetry
+    across the modalities:
+
+    1. inside Arrow-batched ``mapInPandas``, each payload's samples are
+       split into 64 equal windows and reduced to an RMS energy envelope
+       (numpy, no audio libs; payloads never leave the executor);
+    2. the 64-bit hash thresholds each window's energy at the clip's own
+       MEDIAN envelope value — amplitude-scale invariant by construction
+       (attenuated/boosted copies hash identically, like aHash under
+       brightness shift);
+    3. pairing reuses ``dedup._simhash_band_pairs`` (pigeonhole-banded
+       candidate join + exact Hamming verify — never all-pairs).
+
+    Clips shorter than 64 samples (or empty/odd payloads after trunc)
+    yield NULL hashes and drop out of pairing. Output:
+    (media_id_a, media_id_b, hamming)."""
+    from .dedup import _simhash_band_pairs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                x = np.frombuffer(raw, dtype="<i2").astype("f8")
+                if x.size < 64:
+                    hashes.append(None)
+                    continue
+                env = np.array(
+                    [float(np.sqrt((w**2).mean())) for w in np.array_split(x, 64)]
+                )
+                bits = env > np.median(env)
+                h = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        h |= 1 << i
+                # to signed 64-bit (Spark LongType)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["media_id"],
+                    "simhash": pd.Series(hashes, dtype=object),
+                }
+            )
+
+    sh = media.mapInPandas(run, schema="doc_id bigint, simhash bigint").filter(
+        F.col("simhash").isNotNull()
+    )
+    n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    return _simhash_band_pairs(sh, max_hamming, n_bands).select(
+        F.col("doc_id_a").alias("media_id_a"),
+        F.col("doc_id_b").alias("media_id_b"),
+        "hamming",
+    )
+
+
 def filter_by_metadata(
     media: DataFrame,
     kinds: list[str] | None = None,

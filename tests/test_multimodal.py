@@ -929,3 +929,37 @@ def test_image_ahash_pairs_finds_brightness_shift_not_inverse(spark):
     assert (1, 2) in got and got[(1, 2)] <= 2
     assert (1, 3) not in got and (2, 3) not in got
     assert all(4 not in pair for pair in got)
+
+
+def test_audio_envelope_hash_pairs_amplitude_invariant(spark):
+    """A clip and its attenuated copy hash identically (median threshold
+    scales with the signal); a clip with an inverted energy envelope does
+    not pair; sub-64-sample and garbage payloads drop out."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        audio_envelope_hash_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    # loud/quiet alternating blocks -> distinctive envelope
+    blocks = [(rng.standard_normal(256) * (8000 if i % 2 == 0 else 400))
+              for i in range(64)]
+    base = np.concatenate(blocks).astype("<i2")
+    quiet = (base.astype("f8") * 0.25).astype("<i2")       # attenuated copy
+    flipped = np.concatenate(blocks[1:] + blocks[:1]).astype("<i2")
+
+    rows = [
+        (1, bytearray(base.tobytes())),
+        (2, bytearray(quiet.tobytes())),
+        (3, bytearray(flipped.tobytes())),
+        (4, bytearray(b"\x01\x02")),   # < 64 samples -> dropped
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in audio_envelope_hash_pairs(media, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 2
+    assert (1, 3) not in got and (2, 3) not in got
+    assert all(4 not in p for p in got)

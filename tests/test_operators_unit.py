@@ -999,3 +999,40 @@ def test_feature_hashing_known_values(spark):
         assert got[(2, da)] == sa + sb
     else:
         assert got[(2, da)] == sa and got[(2, db)] == sb
+
+
+def test_cut_dup_spans_shrinks_span_mass_on_real_corpus(spark, sf_small):
+    """Dedup-action property on real testdata: after one cut pass, the
+    total duplicated-token mass strictly shrinks, and no ORIGINAL span
+    survives (cut edges may juxtapose new token runs, so a small residue
+    of brand-new spans is legitimate — the invariant is monotone
+    convergence, not one-shot zero)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        cut_dup_spans,
+        dup_spans,
+    )
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    before = dup_spans(docs)
+    mass_before = before.agg(F.sum("n_tokens")).head()[0] or 0
+    assert mass_before > 0  # the synthetic corpus plants duplicates
+
+    cut = cut_dup_spans(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    after = dup_spans(cut)
+    mass_after = after.agg(F.sum("n_tokens")).head()[0] or 0
+    assert mass_after < mass_before
+
+    # no surviving (doc, token-run) from the original span set: every
+    # original span's tokens were removed from its doc
+    surviving = before.alias("b").join(
+        after.alias("a"),
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("a.span_start") == F.col("b.span_start"))
+        & (F.col("a.span_end") == F.col("b.span_end")),
+    )
+    assert surviving.count() == 0

@@ -341,3 +341,33 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         if extra:
             violations[name] = sorted(extra)
     assert not violations, f"undocumented slow-path plans: {violations}"
+
+
+def test_land_sorted_enables_row_group_skipping(spark, sf_medium, tmp_path):
+    """Sort-on-write is a data-skipping index: the same key-bounded query
+    over the same rows reads strictly fewer rows from the sorted layout
+    (pushed filters prune parquet row groups whose [min, max] band misses
+    the key) than from a random layout where every file's band spans the
+    whole key space."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.plans.metrics import (
+        run_with_metrics,
+    )
+    from data_engineering_zoomcamp_my_test_spark.sinks.writers import land_sorted
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_medium, "events")
+    key = ev.agg(F.min("user_id")).head()[0]
+
+    sorted_path = str(tmp_path / "sorted")
+    random_path = str(tmp_path / "random")
+    land_sorted(ev, sorted_path, ["user_id"], n_files=8)
+    ev.repartition(8).write.parquet(random_path)  # key spread over all files
+
+    def rows_read(path):
+        df = spark.read.parquet(path).filter(F.col("user_id") == key)
+        return run_with_metrics(df).get("number of output rows", 0)
+
+    r_sorted, r_random = rows_read(sorted_path), rows_read(random_path)
+    assert r_sorted < r_random, (r_sorted, r_random)

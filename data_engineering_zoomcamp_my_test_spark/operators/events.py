@@ -299,6 +299,27 @@ def c69_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def c72_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-30-minutes view -> purchase attribution as a declared decl:
+    the batch twin of the streaming interval join
+    (``streaming/windows.py::batch_view_purchase_attribution``), promoted
+    under the exact oracle. The interval predicate keeps the join keyed on
+    user_id (equi part) with the time band as a residual condition — a
+    sort-merge join per user, never a cross product; the streaming form of
+    the same plan bounds its state with watermarks (test-verified)."""
+    from ..streaming.windows import batch_view_purchase_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = batch_view_purchase_attribution(ev)
+    return out.select(
+        "p_user",
+        "purchase_id",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
 def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of c7, as a DRIVER-VERIFIED decl: the
     events table is re-landed as micro-precision parquet file drops,
@@ -333,6 +354,7 @@ QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
     "c69_retention_cohorts": c69_retention_cohorts,
+    "c72_attribution_join": c72_attribution_join,
     "c8_sliding": c8_sliding,
     "c9_session": c9_session,
     "c10_json_extract": c10_json_extract,
@@ -364,6 +386,22 @@ ORACLE = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
                (o.v_obs IS NULL) AS is_gap
         FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    """,
+    "c72_attribution_join": """
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id AS p_user, purchase_id, view_id,
+               CAST(epoch_us(view_ts) AS BIGINT) AS view_us,
+               CAST(epoch_us(purchase_ts) AS BIGINT) AS purchase_us
+        FROM v JOIN p ON v.user_id = p.user_id
+          AND purchase_ts >= view_ts
+          AND purchase_ts <= view_ts + INTERVAL '30 minutes'
     """,
     "c69_retention_cohorts": """
         WITH active AS (

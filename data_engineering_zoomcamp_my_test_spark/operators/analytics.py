@@ -388,6 +388,41 @@ def c54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def stratified_sample_exact(
+    docs: DataFrame,
+    stratum_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT deterministic stratified sample — the oracle-checkable member
+    of the sampling family (c54's seeded Bernoulli is engine-specific and
+    rows-only by design): per stratum, take exactly ceil(fraction * n)
+    rows in content-hash order (md5 of the id, id tiebreak — the same
+    admission-order contract as c49/c50). Same rows on any engine,
+    cluster, partitioning, or run; per-stratum counts are exact, not
+    expected values. One window per stratum; no Python, no RNG."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    wall = Window.partitionBy(stratum_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )
+
+
+def c73_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% exact deterministic sample per source over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "source", 0.1).select(
+        "doc_id", "source"
+    )
+
+
 def c52_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew machinery in the verified path: two-phase salted
     aggregation (operators/skew.py) over the low-cardinality, hot
@@ -526,12 +561,24 @@ QUERIES = {
     "c55_asof_two_streams": c55_asof_two_streams,
     "c53_approx_percentiles": c53_approx_percentiles,
     "c54_stratified_sample": c54_stratified_sample,
+    "c73_stratified_sample_exact": c73_stratified_sample_exact,
     "c42_corr": c42_corr,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
 ORACLE = {
+    "c73_stratified_sample_exact": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        ) WHERE rn <= CEIL(n * 0.1)
+    """,
+
     "c32_profile": """
         SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

@@ -590,6 +590,51 @@ def c68_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(load_table(spark, sf_dir, "documents"), vocab_size=20)
 
 
+def chunk_windows(
+    docs: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """Fixed-token sliding-window chunking with overlap — the
+    document-splitting step every LLM training/RAG pipeline runs before
+    tokenization-to-sequences. Every token is covered: chunk ``i`` spans
+    tokens ``[i*stride, i*stride+window)`` and the final chunk is allowed
+    to run short rather than dropping the tail (``k = 1 +
+    ceil(max(n-window,0)/stride)`` chunks for an ``n``-token doc).
+
+    Plan: pure per-row projection — split/sequence/transform/posexplode/
+    slice are all JVM higher-order expressions inside one whole-stage
+    codegen span; there is NO shuffle, so the operator scales with corpus
+    bytes and parallelizes by input split. Output fan-out is bounded at
+    ~n/stride rows per doc (amortized window/stride ≈ 1.3× token bytes
+    here), which is the contract, not a blow-up."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    k = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(1), k), lambda i: (i - F.lit(1)) * stride
+    )
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(window))
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def c74_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token windows, stride 24 (25% overlap) over the documents corpus."""
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "c5_text_stats": c5_text_stats,
     "c49_token_budget_mix": c49_token_budget_mix,
@@ -608,6 +653,7 @@ QUERIES = {
     "c68_oov_rate": c68_oov_rate,
     "c70_length_drift_psi": c70_length_drift_psi,
     "c71_feature_hashing": c71_feature_hashing,
+    "c74_chunk_windows": c74_chunk_windows,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -615,6 +661,26 @@ _NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
 _HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
 
 ORACLE = {
+    "c74_chunk_windows": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, toks,
+                 1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS k
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_id,
+               CAST((i - 1) * 24 AS INT) AS start_tok,
+               CAST(len(toks[(i-1)*24 + 1 : (i-1)*24 + 32]) AS INT) AS n_tok,
+               array_to_string(
+                 toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' '
+               ) AS chunk_text
+        FROM k, UNNEST(generate_series(1, k)) AS u(i)
+    """,
     "c50_pack_sequences": """
         WITH t AS (
           SELECT doc_id, source,

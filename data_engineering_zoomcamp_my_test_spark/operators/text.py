@@ -630,6 +630,61 @@ def chunk_windows(
     )
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under a corpus-fit add-1-smoothed
+    bigram LM — the exact, engine-portable formulation of the perplexity
+    filter LLM curation pipelines (CCNet-style) run to rank documents by
+    fluency. ``logp(w1,w2) = ln((c(w1,w2)+1)/(c(w1·)+V))``; a document's
+    score is the mean over its bigrams (more-negative = less corpus-like).
+
+    Plan: one keyed groupBy for bigram counts; head counts derive from the
+    bigram table (no second corpus pass); vocabulary size is a 1-row
+    broadcast; scoring joins doc-bigrams to the count tables on their keys
+    and partial-aggregates per doc. Every shuffle is keyed by (w1[,w2]) or
+    doc_id — nothing quadratic, no Python, linear in corpus tokens."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = docs.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("vsz")
+    )
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(head, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vsz"))
+                )
+            ),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def c75_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram-LM fluency score per document."""
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def c74_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-token windows, stride 24 (25% overlap) over the documents corpus."""
     return chunk_windows(load_table(spark, sf_dir, "documents"))
@@ -654,6 +709,7 @@ QUERIES = {
     "c70_length_drift_psi": c70_length_drift_psi,
     "c71_feature_hashing": c71_feature_hashing,
     "c74_chunk_windows": c74_chunk_windows,
+    "c75_bigram_logprob": c75_bigram_logprob,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -661,6 +717,29 @@ _NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
 _HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
 
 ORACLE = {
+    "c75_bigram_logprob": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ),
+        bi AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, n - 1)) AS u(i)
+          WHERE n >= 2
+        ),
+        big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        head AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+        v AS (
+          SELECT COUNT(DISTINCT tok) AS vsz
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(ln((c12 + 1.0) / (c1 + vsz))), 6) AS avg_logprob
+        FROM bi JOIN big USING (w1, w2) JOIN head USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+    """,
     "c74_chunk_windows": """
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks,

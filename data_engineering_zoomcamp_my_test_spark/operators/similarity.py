@@ -675,6 +675,48 @@ def negative_sampling(
     )
 
 
+def label_centroid_cosine(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid fit + each vector's cosine to its OWN label's
+    centroid — the standard labeled-training-data audit (a low cosine
+    flags a probable mislabel/outlier; the per-label distribution flags
+    incoherent classes). Exact and engine-portable: centroids are plain
+    per-dimension means, cosines round at 6 decimals.
+
+    Plan: posexplode to (label, dim) cells, ONE keyed groupBy fits all
+    centroids in a single pass (numClasses x dim rows — tiny), then the
+    scoring join is per-(label, dim) with AQE free to broadcast the
+    centroid side, and the final per-vector rollup partial-aggregates on
+    vec_id. Shuffles are keyed by (label,dim) and vec_id; nothing is
+    quadratic, no Python, linear in N x dim."""
+    ex = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    j = ex.join(F.broadcast(cent), ["label", "dim"])
+    return (
+        j.groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("_dot"),
+            F.sum(F.col("x") * F.col("x")).alias("_sx"),
+            F.sum(F.col("c") * F.col("c")).alias("_sc"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("_dot") / F.sqrt(F.col("_sx") * F.col("_sc")), 6
+            ).alias("cos_to_centroid"),
+        )
+    )
+
+
+def c76_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-coherence audit over the labeled embeddings table."""
+    return label_centroid_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
 def c67_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4 deterministic negatives for each of the first 100 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -692,6 +734,7 @@ QUERIES = {
     "c45_lsh_knn_batch": c45_lsh_knn_batch,
     "c18_embed_neardup": c18_embed_neardup,
     "c48_lsh_embed_neardup": c48_lsh_embed_neardup,
+    "c76_label_centroid_cosine": c76_label_centroid_cosine,
 }
 
 _COS = (
@@ -706,6 +749,23 @@ _MAXABS = (
 )
 
 ORACLE = {
+    "c76_label_centroid_cosine": """
+        WITH ex AS (
+          SELECT vec_id, label, i - 1 AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS u(i)
+        ),
+        cent AS (
+          SELECT label, dim, AVG(x) AS c FROM ex GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               ROUND(
+                 SUM(x * c) / sqrt(SUM(x * x) * SUM(c * c)), 6
+               ) AS cos_to_centroid
+        FROM ex JOIN cent USING (label, dim)
+        GROUP BY vec_id, label
+    """,
     "c67_negative_sampling": """
         WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
         draws AS (

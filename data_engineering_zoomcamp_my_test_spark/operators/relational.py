@@ -805,6 +805,55 @@ def b48_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b49_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): revenue between two nations by
+    direction and ship year — the same dimension table joined TWICE under
+    different roles (supplier nation vs customer nation), a symmetric
+    cross-table disjunction, and a 3-key rollup. Both nation joins are
+    broadcast (fixed 25-row dim); the fact-side joins stay keyed under
+    AQE; revenue accumulates in DECIMAL at the money grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1995-01-01"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    joined = (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dmoney_sum_grain(rev, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 QUERIES = {
     "b1_filter_pred": b1_filter_pred,
     "b46_q18_big_orders": b46_q18_big_orders,
@@ -842,6 +891,7 @@ QUERIES = {
     "b36_q10_returned_items": b36_q10_returned_items,
     "b47_q14_promo_revenue": b47_q14_promo_revenue,
     "b48_q19_disjunctive": b48_q19_disjunctive,
+    "b49_q7_volume_shipping": b49_q7_volume_shipping,
     "b39_setops_all": b39_setops_all,
     "b40_null_safe_cmp": b40_null_safe_cmp,
     "b41_string_advanced": b41_string_advanced,
@@ -1187,5 +1237,21 @@ ORACLE = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "b49_q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 }

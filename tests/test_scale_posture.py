@@ -371,3 +371,27 @@ def test_land_sorted_enables_row_group_skipping(spark, sf_medium, tmp_path):
 
     r_sorted, r_random = rows_read(sorted_path), rows_read(random_path)
     assert r_sorted < r_random, (r_sorted, r_random)
+
+
+def test_chunk_windows_has_no_keyed_shuffle(spark, sf_small):
+    """c74 is a pure projection + generate: the only Exchange allowed is
+    the CPU-spread round-robin (and none at all when the scan already has
+    enough splits) — a hashpartitioning Exchange would mean an accidental
+    shuffle in a shuffle-free operator."""
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+    df = all_queries()["c74_chunk_windows"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" in plan or "explode" in plan.lower(), plan
+
+
+def test_label_centroid_join_broadcasts(spark, sf_small):
+    """c76's centroid table (numClasses x dim rows) must broadcast back to
+    the cell table — a shuffle join there would repartition the corpus by
+    (label, dim) twice for no reason."""
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+    df = all_queries()["c76_label_centroid_cosine"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan

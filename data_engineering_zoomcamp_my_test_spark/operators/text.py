@@ -673,6 +673,10 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     )
     big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # the vocabulary size attaches as a single-row broadcast (same pattern
+    # as b26's scalar subquery: a 1-row BroadcastNestedLoopJoin is a
+    # constant attach, not a quadratic join; whitelisted in the catalog
+    # plan-hygiene guard with that justification)
     vocab = docs.select(F.explode(toks).alias("t")).agg(
         F.countDistinct("t").alias("vsz")
     )

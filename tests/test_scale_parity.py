@@ -37,6 +37,13 @@ TRACTABLE = [
     "c5_text_stats",
     "c7_tumbling",
     "c47_hash_split",
+    # round-5 additions, proven tractable at sf1 (BASELINE.md round-5 notes)
+    "b47_q14_promo_revenue",
+    "b48_q19_disjunctive",
+    "b49_q7_volume_shipping",
+    "c75_bigram_logprob",
+    "c76_label_centroid_cosine",
+    "c77_mad_anomaly",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -326,6 +326,7 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c3_cosine_topk": {"bnlj"},
         "c13_knn_all": {"bnlj"},
         "c37_tfidf_top_term": {"bnlj"},
+        "c75_bigram_logprob": {"bnlj"},  # 1-row vocab-size scalar attach
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
     }

@@ -414,6 +414,34 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL Structured Streaming sessionization under the exact
+    oracle: events are re-landed as parquet file drops and replayed
+    through the watermarked ``session_window`` streaming aggregation
+    (``streaming/windows.py::run_streaming_session_agg`` — micro-batches,
+    complete mode, memory sink). The stream's final state must equal the
+    batch/SQL answer over the bounded replay, so the *stateful* streaming
+    path (session state merge across micro-batches — a strictly harder
+    state machine than c66's tumbling windows) gets a DuckDB hash check,
+    not just the repo's own batch-parity tests."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import run_streaming_session_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = tempfile.mkdtemp(prefix="c78_drops_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        out = run_streaming_session_agg(
+            spark, drop_dir, query_name=f"c78_out_{uuid.uuid4().hex[:8]}"
+        )
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
@@ -426,6 +454,7 @@ QUERIES = {
     "c21_json_agg": c21_json_agg,
     "c22_hourly_top_event": c22_hourly_top_event,
     "c77_mad_anomaly": c77_mad_anomaly,
+    "c78_streaming_session": c78_streaming_session,
     "c44_session_funnel": c44_session_funnel,
     "c61_resample_ffill": c61_resample_ffill,
 }
@@ -597,6 +626,27 @@ ORACLE = {
                    ORDER BY COUNT(*) DESC, event_type) AS rn
           FROM events GROUP BY date_trunc('hour', ts), event_type
         ) t WHERE rn = 1
+    """,
+    "c78_streaming_session": f"""
+        WITH flagged AS (
+          SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+                      OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) + 30*60*1000000 AS session_end_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM numbered GROUP BY user_id, seq
     """,
     "c77_mad_anomaly": """
         WITH hourly AS (

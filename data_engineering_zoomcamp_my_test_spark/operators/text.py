@@ -704,6 +704,73 @@ def c75_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Exact top-``k`` collocations by pointwise mutual information:
+    ``pmi(w1,w2) = ln( (c12/B) / ((c1/T)(c2/T)) )`` over corpus bigram/
+    unigram counts — the classic collocation-mining statistic (phrase
+    discovery for tokenizer vocab construction). A ``min_count`` floor
+    drops the unstable low-frequency tail, PMI is rounded at 6 decimals
+    BEFORE ranking (so the top-k boundary cannot flip on a cross-engine
+    ulp), and ties break lexicographically.
+
+    Plan: the same zip-of-slices bigram explode as c75, one keyed groupBy
+    each for bigram and unigram counts, the two corpus totals attach as a
+    single-row broadcast (constant attach, same whitelist rationale as
+    b26/c75), and the final top-k is a TakeOrderedAndProject — never a
+    full sort of the bigram space."""
+    from .dedup import _spread_for_cpu
+
+    docs = _spread_for_cpu(docs)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    bi = (
+        docs.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    uni = docs.select(F.explode(toks).alias("t"))
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unic = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = bi.agg(F.count(F.lit(1)).alias("b_total")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("t_total"))
+    )
+    c1 = unic.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    c2 = unic.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("b_total"))
+                    / (
+                        (F.col("c1") / F.col("t_total"))
+                        * (F.col("c2") / F.col("t_total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
+def c79_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations (min bigram count 5) over the documents corpus."""
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 def c74_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-token windows, stride 24 (25% overlap) over the documents corpus."""
     return chunk_windows(load_table(spark, sf_dir, "documents"))
@@ -729,6 +796,7 @@ QUERIES = {
     "c71_feature_hashing": c71_feature_hashing,
     "c74_chunk_windows": c74_chunk_windows,
     "c75_bigram_logprob": c75_bigram_logprob,
+    "c79_pmi_collocations": c79_pmi_collocations,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
@@ -736,6 +804,34 @@ _NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
 _HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
 
 ORACLE = {
+    "c79_pmi_collocations": """
+        WITH t AS (
+          SELECT string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ),
+        bi AS (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, n - 1)) AS u(i)
+          WHERE n >= 2
+        ),
+        uni AS (SELECT UNNEST(toks) AS t FROM t),
+        big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        unic AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1),
+        totals AS (
+          SELECT (SELECT COUNT(*) FROM bi) AS b_total,
+                 (SELECT COUNT(*) FROM uni) AS t_total
+        )
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               ROUND(ln((c12 / b_total)
+                        / ((u1.c / t_total) * (u2.c / t_total))), 6) AS pmi
+        FROM big
+        JOIN unic u1 ON big.w1 = u1.t
+        JOIN unic u2 ON big.w2 = u2.t
+        CROSS JOIN totals
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
     "c75_bigram_logprob": """
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks,

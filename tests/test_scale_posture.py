@@ -327,6 +327,7 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c13_knn_all": {"bnlj"},
         "c37_tfidf_top_term": {"bnlj"},
         "c75_bigram_logprob": {"bnlj"},  # 1-row vocab-size scalar attach
+        "c79_pmi_collocations": {"bnlj"},  # 1-row corpus-totals attach
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
     }

@@ -442,6 +442,30 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of c8 under the exact oracle: overlapping
+    (1h window / 30min slide) windowed aggregation replayed over file
+    drops — each event updates TWO window states per micro-batch, the
+    overlap bookkeeping c66's tumbling case never exercises. Final
+    complete-mode state must equal the batch/SQL answer."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import run_streaming_sliding_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = tempfile.mkdtemp(prefix="c80_drops_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        out = run_streaming_sliding_agg(
+            spark, drop_dir, query_name=f"c80_out_{uuid.uuid4().hex[:8]}"
+        )
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
@@ -455,6 +479,7 @@ QUERIES = {
     "c22_hourly_top_event": c22_hourly_top_event,
     "c77_mad_anomaly": c77_mad_anomaly,
     "c78_streaming_session": c78_streaming_session,
+    "c80_streaming_sliding": c80_streaming_sliding,
     "c44_session_funnel": c44_session_funnel,
     "c61_resample_ffill": c61_resample_ffill,
 }
@@ -626,6 +651,18 @@ ORACLE = {
                    ORDER BY COUNT(*) DESC, event_type) AS rn
           FROM events GROUP BY date_trunc('hour', ts), event_type
         ) t WHERE rn = 1
+    """,
+    "c80_streaming_sliding": f"""
+        WITH starts AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+          FROM events
+        )
+        SELECT CAST(epoch_us(w_start) AS BIGINT) AS window_start_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM starts GROUP BY 1
     """,
     "c78_streaming_session": f"""
         WITH flagged AS (

@@ -453,6 +453,54 @@ def b43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_trend(ev: DataFrame) -> DataFrame:
+    """Per-group OLS trend (slope of value over days) with EXACT
+    distributed accumulators: x is an integer day index, y accumulates in
+    DECIMAL, so every sufficient statistic (n, Sx, Sxx, Sy, Sxy) is exact
+    on ANY partitioning — unlike a double-moment ``regr_slope``, whose
+    partial sums are order-dependent at the ulp. The slope combines the
+    exact sums in scalar double arithmetic at the very end (one
+    deterministic expression per group), so answers are reproducible on 1
+    or 1000 executors — the b3 money-sum discipline applied to
+    regression.
+
+    Plan: one keyed partial-aggregated groupBy over events; everything
+    after it is per-group scalar math on a numClasses-row table."""
+    x = F.floor(
+        F.unix_micros("ts") / F.lit(86_400_000_000.0)
+    ).cast("long")
+    agg = (
+        ev.select(
+            "event_type", x.alias("x"), money("value").alias("y")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("_sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+            F.sum("y").alias("_sy"),
+            F.sum(F.col("x").cast("decimal(18,2)") * F.col("y")).alias("_sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("_sx").cast("double")
+    sxxd = F.col("_sxx").cast("double")
+    syd = F.col("_sy").cast("double")
+    sxyd = F.col("_sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+def c81_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value trend per event type, exact accumulators."""
+    return group_trend(load_table(spark, sf_dir, "events"))
+
+
 def c42_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample correlation & covariance per group (rounded — engines
     accumulate moments differently at the last ulp)."""
@@ -563,6 +611,7 @@ QUERIES = {
     "c54_stratified_sample": c54_stratified_sample,
     "c73_stratified_sample_exact": c73_stratified_sample_exact,
     "c42_corr": c42_corr,
+    "c81_group_trend": c81_group_trend,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -734,6 +783,28 @@ ORACLE = {
                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                  FILTER (o_orderpriority = '1-URGENT') AS DOUBLE), 0.0) AS urgent_total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "c81_group_trend": """
+        WITH s AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sxd,
+                 CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxxd,
+                 CAST(SUM(y) AS DOUBLE) AS syd,
+                 CAST(SUM(CAST(x AS DECIMAL(18,2)) * y) AS DOUBLE) AS sxyd
+          FROM (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,2)) AS y
+            FROM events
+          ) GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND((n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd), 6)
+                 AS slope_per_day,
+               ROUND((syd - (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+                      * sxd) / n, 6) AS intercept
+        FROM s ORDER BY event_type
     """,
     "c42_corr": """
         SELECT l_returnflag,

@@ -44,6 +44,7 @@ TRACTABLE = [
     "c75_bigram_logprob",
     "c76_label_centroid_cosine",
     "c77_mad_anomaly",
+    "c81_group_trend",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -501,6 +501,45 @@ def c81_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_trend(load_table(spark, sf_dir, "events"))
 
 
+def winsorize(
+    ev: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Group-wise winsorization: clip ``value`` into its group's exact
+    [p_lo, p_hi] percentile band — the standard outlier treatment before
+    mean-based statistics (vs dropping rows, which biases counts). Exact
+    interpolated percentiles (same definition both engines), clip via
+    least/greatest, 6-decimal grain on the clipped value.
+
+    Plan: one keyed percentile aggregate per group (tiny result,
+    broadcast back) + a corpus-sized projection. The percentile fit sorts
+    only within the bounded per-group aggregate, not the whole corpus."""
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(lo)).alias("_plo"),
+        F.percentile("value", F.lit(hi)).alias("_phi"),
+    )
+    return (
+        ev.join(F.broadcast(bands), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("_plo")), F.col("_phi")),
+                6,
+            ).alias("value_winsorized"),
+            (
+                (F.col("value") < F.col("_plo"))
+                | (F.col("value") > F.col("_phi"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
+def c82_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip event values into each type's exact [p5, p95] band."""
+    return winsorize(load_table(spark, sf_dir, "events"))
+
+
 def c42_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample correlation & covariance per group (rounded — engines
     accumulate moments differently at the last ulp)."""
@@ -612,6 +651,7 @@ QUERIES = {
     "c73_stratified_sample_exact": c73_stratified_sample_exact,
     "c42_corr": c42_corr,
     "c81_group_trend": c81_group_trend,
+    "c82_winsorize": c82_winsorize,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -783,6 +823,18 @@ ORACLE = {
                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                  FILTER (o_orderpriority = '1-URGENT') AS DOUBLE), 0.0) AS urgent_total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "c82_winsorize": """
+        WITH bands AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS plo,
+                 quantile_cont(value, 0.95) AS phi
+          FROM events GROUP BY 1
+        )
+        SELECT event_id, event_type, value,
+               ROUND(least(greatest(value, plo), phi), 6) AS value_winsorized,
+               (value < plo OR value > phi) AS was_clipped
+        FROM events JOIN bands USING (event_type)
     """,
     "c81_group_trend": """
         WITH s AS (

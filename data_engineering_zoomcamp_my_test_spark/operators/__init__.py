@@ -71,7 +71,7 @@ _PRIORITY = (
     # Round 6 plan: once these are driver-green, rotate them out and seat
     # the next seven: c56_ngram_jaccard_pairs (newest decl, VERDICT r4 #4),
     # c40_topk_agg, c41, c42, c44, c47, c50 (then c52/c55, then the round-5
-    # additions c58-c82/b44-b49, then c14-c16/c20/c30/c31/c38/c39/c18,
+    # additions c58-c83/b44-b49, then c14-c16/c20/c30/c31/c38/c39/c18,
     # then the rows-only decls).
     "c23_asof_join", "c24_percentiles", "c25_histogram", "c26_sample",
     "c34_rolling_1h", "c35_grouped_zscore", "c37_tfidf_top_term",

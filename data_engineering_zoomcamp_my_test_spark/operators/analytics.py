@@ -540,6 +540,43 @@ def c82_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(load_table(spark, sf_dir, "events"))
 
 
+def orphan_audit(
+    left: DataFrame, right: DataFrame, lkey: str, rkey: str
+) -> DataFrame:
+    """Cross-table referential-integrity audit: counts of matched keys
+    and of orphans on each side — the check a multimodal pipeline runs
+    before training to prove the text table and the embedding table
+    actually line up (a silent partial join is the classic way to train
+    on half a corpus). One full-outer keyed join, distinct keys first so
+    duplicated keys can't inflate the counts; single-row summary out."""
+    lk = left.select(F.col(lkey).alias("k")).distinct()
+    rk = right.select(F.col(rkey).alias("k")).distinct()
+    j = lk.withColumn("_l", F.lit(1)).join(
+        rk.withColumn("_r", F.lit(1)), "k", "full"
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("_r").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_left_orphans"),
+        F.sum(F.when(F.col("_l").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_right_orphans"),
+    )
+
+
+def c83_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.doc_id vs embeddings.vec_id alignment audit."""
+    return orphan_audit(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        "doc_id",
+        "vec_id",
+    )
+
+
 def c42_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample correlation & covariance per group (rounded — engines
     accumulate moments differently at the last ulp)."""
@@ -652,6 +689,7 @@ QUERIES = {
     "c42_corr": c42_corr,
     "c81_group_trend": c81_group_trend,
     "c82_winsorize": c82_winsorize,
+    "c83_orphan_audit": c83_orphan_audit,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -823,6 +861,17 @@ ORACLE = {
                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                  FILTER (o_orderpriority = '1-URGENT') AS DOUBLE), 0.0) AS urgent_total
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "c83_orphan_audit": """
+        WITH lk AS (SELECT DISTINCT doc_id AS k FROM documents),
+             rk AS (SELECT DISTINCT vec_id AS k FROM embeddings)
+        SELECT CAST(COUNT(*) FILTER (lk.k IS NOT NULL AND rk.k IS NOT NULL)
+                    AS BIGINT) AS n_matched,
+               CAST(COUNT(*) FILTER (rk.k IS NULL) AS BIGINT)
+                 AS n_left_orphans,
+               CAST(COUNT(*) FILTER (lk.k IS NULL) AS BIGINT)
+                 AS n_right_orphans
+        FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
     """,
     "c82_winsorize": """
         WITH bands AS (

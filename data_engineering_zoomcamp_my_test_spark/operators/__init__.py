@@ -62,19 +62,23 @@ _PRIORITY = (
     "c7_tumbling", "c8_sliding",
     "c9_session",
     "c10_json_extract",
-    # Rotation slots (round 5): the 43 decls above are SURVEY-mandated and
+    # Rotation slots (round 6): the 43 decls above are SURVEY-mandated and
     # pinned; the remaining 7 window seats rotate each round to decls that
     # have never had a driver correctness row, retiring residual risk one
     # batch at a time.  r2 seated c36/c43/c46, r3 seated c32/c49/c51,
-    # r4 seated b31/b32/b37/b38/b42/b43/c22 — all driver-green and rotated
-    # out.  r5 seats the next seven in VERDICT r4's priority order.
-    # Round 6 plan: once these are driver-green, rotate them out and seat
-    # the next seven: c56_ngram_jaccard_pairs (newest decl, VERDICT r4 #4),
-    # c40_topk_agg, c41, c42, c44, c47, c50 (then c52/c55, then the round-5
-    # additions c58-c83/b44-b49, then c14-c16/c20/c30/c31/c38/c39/c18,
-    # then the rows-only decls).
-    "c23_asof_join", "c24_percentiles", "c25_histogram", "c26_sample",
-    "c34_rolling_1h", "c35_grouped_zscore", "c37_tfidf_top_term",
+    # r4 seated b31/b32/b37/b38/b42/b43/c22, r5 seated c23/c24/c25/c26/
+    # c34/c35/c37 — all driver-green and rotated out.  r6 seats five from
+    # VERDICT r5 #1's batch plus the two streaming exact-oracle decls
+    # (VERDICT r5 #2: replayed micro-batch state vs batch SQL — the
+    # catalog's most novel correctness claims, swapped into the batch as
+    # the verdict allows; c47/c50 defer one round).
+    # Round 7 plan: once these are driver-green, seat c80_streaming_sliding,
+    # c72_attribution_join, c47_hash_split, c50_pack_sequences, then c52/
+    # c55, then the round-5 additions c58-c83/b44-b49, then c14-c16/c20/
+    # c30/c31/c38/c39/c18, then the rows-only decls.
+    "c56_ngram_jaccard_pairs", "c40_topk_agg", "c41_weighted_avg",
+    "c42_corr", "c44_session_funnel",
+    "c66_streaming_tumbling", "c78_streaming_session",
 )
 
 

@@ -61,6 +61,59 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Network-database SOURCE — the symmetric read arm of
+    ``sinks.write_jdbc`` (the reference fetched query results from
+    Postgres into a frame, reference week_1/data_ingest/data_ingest.py:
+    130-132; here that fetch lands as a distributed scan, not a driver
+    cursor). Exactly one of ``table`` / ``query`` must be given: ``table``
+    scans a relation (Spark pushes filters/projections into the remote SQL),
+    ``query`` wraps arbitrary SQL as the source relation.
+
+    Scale posture: a bare JDBC read is ONE connection on one executor —
+    fine for dimension-sized pulls, wrong for a big fact table. Pass
+    ``partition_column``/``lower_bound``/``upper_bound``/``num_partitions``
+    to split the scan into range-predicate slices fetched concurrently by
+    the executors (the JDBC analogue of parquet split planning)."""
+    if (table is None) == (query is None):
+        raise ValueError("read_jdbc: pass exactly one of table= or query=")
+    reader = spark.read.format("jdbc").option("url", url)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+    if partition_column is not None:
+        if table is None:
+            raise ValueError(
+                "read_jdbc: partitioned reads require table= (Spark cannot "
+                "range-split an arbitrary query= relation)"
+            )
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound, "
+                "upper_bound and num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 def fetch_to_local(url: str, dest_dir: str = "/tmp/spark_graft_fetch") -> str:
     """Download ``url`` to a local file and return the path (A3 semantics).
 

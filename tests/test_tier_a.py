@@ -189,3 +189,46 @@ def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
     plan = explain_str(back.filter("n_regionkey = 1"), "formatted")
     assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_jdbc_write_read_roundtrip_and_partitioned_scan(spark):
+    """A7's fetch-to-DataFrame arm (reference pulled query results out of
+    Postgres into a frame): write over JDBC to embedded Derby, read back
+    via read_jdbc — both the table scan and the query= arm — and check a
+    partitioned read splits into the requested number of range slices."""
+    from data_engineering_zoomcamp_my_test_spark.sinks import write_jdbc
+    from data_engineering_zoomcamp_my_test_spark.sources import read_jdbc
+
+    url = "jdbc:derby:memory:readtest;create=true"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 101)], "id long, v string"
+    )
+    try:
+        assert write_jdbc(df, url, "t_src", if_exists="replace")
+    except Exception as exc:  # pragma: no cover - env-dependent
+        if "ClassNotFound" in str(exc) or "No suitable driver" in str(exc):
+            pytest.skip(f"no embedded JDBC driver: {exc}")
+        raise
+
+    back = read_jdbc(spark, url, table="t_src")
+    assert back.count() == 100
+    assert sorted(c.lower() for c in back.columns) == ["id", "v"]
+
+    # Spark's JDBC writer quotes identifiers, so Derby stores the column as
+    # case-sensitive "id" — raw SQL must quote it too.
+    q = read_jdbc(spark, url, query='SELECT "id" FROM t_src WHERE "id" <= 10')
+    assert sorted(r[0] for r in q.collect()) == list(range(1, 11))
+
+    part = read_jdbc(
+        spark, url, table="t_src",
+        partition_column='"id"', lower_bound=1, upper_bound=101, num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+
+    with pytest.raises(ValueError):
+        read_jdbc(spark, url)  # neither table nor query
+    with pytest.raises(ValueError):
+        read_jdbc(spark, url, table="t_src", query="SELECT 1")  # both
+    with pytest.raises(ValueError):
+        read_jdbc(spark, url, table="t_src", partition_column="id")  # no bounds

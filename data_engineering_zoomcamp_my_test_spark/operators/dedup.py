@@ -19,6 +19,7 @@ be partitioning-dependent and unverifiable).
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import pandas as pd
@@ -29,6 +30,14 @@ from pyspark.sql import types as T
 
 from ..functions.text import normalized_text
 from ..sources.tables import load_table
+
+logger = logging.getLogger(__name__)
+
+# Pair-list safety valve (VERDICT r5 #6): when the copy probe predicts the
+# ``output="pairs"`` contract will materialize more than this many identity
+# pairs, warn (or raise under ``strict_scale``) steering callers to the
+# linear ``output="clusters"`` / arithmetic ``output="count"`` forms.
+_PAIR_LIST_WARN_THRESHOLD = 1_000_000
 
 # MinHash parameters: h_i(x) = (a_i * x + b_i) mod P, P Mersenne-ish prime.
 _MINHASH_PRIME = (1 << 61) - 1
@@ -217,6 +226,14 @@ def _has_exact_copies(docs: DataFrame, block_col: str | None) -> bool:
     ~+3s at sf0.1, where the planted ratio is ~1.2); above it the c^2 term
     dominates (42x measured at c = 10). The margin also absorbs
     approx_count_distinct's ~2% error."""
+    n, nd = _copy_stats(docs, block_col)
+    return n >= 1.5 * max(nd, 1)
+
+
+def _copy_stats(docs: DataFrame, block_col: str | None) -> tuple[int, int]:
+    """(non-null text count, approx distinct (block, text) count) — the one
+    bounded action behind ``_has_exact_copies`` and the pair-list safety
+    valve's blow-up estimate."""
     blk = [F.col(block_col)] if block_col else []
     # NULL texts are excluded from both counts (count(text) skips NULLs;
     # the when() feeds approx_count_distinct NULL, which it ignores):
@@ -231,7 +248,7 @@ def _has_exact_copies(docs: DataFrame, block_col: str | None) -> bool:
             )
         ).alias("nd"),
     ).head()
-    return row["n"] >= 1.5 * max(row["nd"], 1)
+    return int(row["n"]), int(row["nd"])
 
 
 def _collapse_exact(
@@ -325,6 +342,7 @@ def token_jaccard_pairs(
     tokens: "F.Column | None" = None,
     output: str = "pairs",
     max_pairs: int | None = None,
+    strict_scale: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard >= ``threshold`` pairs, with **stats-adaptive
     plan selection** (the operator-level analogue of Catalyst's stats-based
@@ -371,7 +389,32 @@ def token_jaccard_pairs(
         return dedup_clusters(
             docs, threshold=threshold, block_col=block_col, tokens=tokens
         )
-    if collapse_exact and _has_exact_copies(docs, block_col):
+    if collapse_exact:
+        n, nd = _copy_stats(docs, block_col)
+        has_copies = n >= 1.5 * max(nd, 1)
+        if output == "pairs" and has_copies:
+            # The pair LIST is the one honestly output-quadratic contract:
+            # with uniform copy ratio c = n/nd the identity pairs ALONE are
+            # nd * c*(c-1)/2 = n*(c-1)/2 — a floor on the result size that
+            # no plan can avoid (it is the answer). Warn past the threshold
+            # so 100 TB callers reach for the linear forms instead of
+            # discovering the contract the expensive way.
+            est_identity_pairs = int(n * (n / max(nd, 1) - 1) / 2)
+            if est_identity_pairs > _PAIR_LIST_WARN_THRESHOLD:
+                msg = (
+                    "token_jaccard_pairs: copy probe predicts >= %d identity "
+                    "pairs (n=%d, distinct~%d) — the output='pairs' list is "
+                    "quadratic in the copy count BY CONTRACT. Use "
+                    "output='clusters' (linear cluster handles), "
+                    "output='count' (arithmetic, nothing materialized), or "
+                    "max_pairs=N to cap the list."
+                )
+                if strict_scale:
+                    raise ValueError(msg % (est_identity_pairs, n, nd))
+                logger.warning(msg, est_identity_pairs, n, nd)
+    else:
+        has_copies = False
+    if has_copies:
         mapping, reps = _collapse_exact(docs, block_col)
         rep_pairs = token_jaccard_pairs(
             reps, threshold, block_col, collapse_exact=False, tokens=tokens

@@ -1036,3 +1036,38 @@ def test_cut_dup_spans_shrinks_span_mass_on_real_corpus(spark, sf_small):
         & (F.col("a.span_end") == F.col("b.span_end")),
     )
     assert surviving.count() == 0
+
+
+def test_pair_list_safety_valve_warns_and_strict_raises(spark, monkeypatch, caplog):
+    """VERDICT r5 #6: on a copy-heavy corpus, the default output='pairs'
+    contract logs a steer toward the linear forms (and raises under
+    strict_scale) — while the returned pairs themselves stay identical to
+    the un-warned run."""
+    import logging
+
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators import dedup
+
+    # 40 copies each of 2 texts: copy ratio 40 -> collapse triggers and the
+    # identity-pair floor is 2 * 40*39/2 = 1560.
+    rows = [(i, "alpha beta gamma" if i % 2 else "delta epsilon zeta")
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    monkeypatch.setattr(dedup, "_PAIR_LIST_WARN_THRESHOLD", 100)
+    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+        out = dedup.token_jaccard_pairs(df, threshold=0.9)
+        n_pairs = out.count()
+    assert any("output='clusters'" in r.message for r in caplog.records)
+    assert n_pairs == 2 * (40 * 39) // 2  # identity pairs only at J>=0.9
+
+    with pytest.raises(ValueError, match="quadratic in the copy count"):
+        dedup.token_jaccard_pairs(df, threshold=0.9, strict_scale=True)
+
+    # Below threshold: silent.
+    monkeypatch.setattr(dedup, "_PAIR_LIST_WARN_THRESHOLD", 10_000_000)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+        assert dedup.token_jaccard_pairs(df, threshold=0.9).count() == n_pairs
+    assert not [r for r in caplog.records if "quadratic" in r.message]

@@ -34,6 +34,10 @@ def _duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         path = f"{sf_dir}/{t}.parquet"
+        # Partial-decade dirs (e.g. the sf100 subset) only carry the tables
+        # their queries read; skip absent ones instead of failing to connect.
+        if not os.path.exists(path):
+            continue
         # Spark-written tables are directories of part files; DuckDB needs
         # the glob form for those (driver testdata is single-file).
         if os.path.isdir(path):

@@ -76,24 +76,42 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"))
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="subset of tables to generate (default: all); fixed dims are "
+        "only copied when listed or when generating everything",
+    )
     args = ap.parse_args()
+
+    from data_engineering_zoomcamp_my_test_spark.session import _default_driver_memory
 
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # 32 concurrent scan+explode tasks in one JVM OOM the 1g default
+        # the moment the source decade is sf10-sized; use the same
+        # half-RAM-clamped default as the engine session.
+        .config("spark.driver.memory", _default_driver_memory())
         .appName("gen_sf")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.dst, exist_ok=True)
     strides = _strides(spark, args.src)
+    wanted = set(args.tables) if args.tables else None
     for table in _FIXED_DIMS:
+        if wanted is not None and table not in wanted:
+            continue
         spark.read.parquet(f"{args.src}/{table}.parquet").write.mode("overwrite").parquet(
             f"{args.dst}/{table}.parquet"
         )
     for table, cols in _SHIFT_COLS.items():
+        if wanted is not None and table not in wanted:
+            continue
         df = spark.read.parquet(f"{args.src}/{table}.parquet")
         _replicate(df, cols, strides, args.copies).write.mode("overwrite").parquet(
             f"{args.dst}/{table}.parquet"

@@ -34,13 +34,24 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    # SPARK_GRAFT_ONLY=comma,separated,decls restricts the sweep — used for
+    # partial-decade runs where only a subset of tables was generated
+    # (e.g. the sf100 decade covers lineitem/documents/events shapes only).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"sweep: unknown decls in SPARK_GRAFT_ONLY: {unknown}")
+        queries = {n: queries[n] for n in names}
     # Warm the JVM/codegen caches against the smallest data available;
     # prefer the tiny sf0.001 set, fall back to the sweep target so the
     # tool works on machines without /root/testdata (ADVICE r4).
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    queries["b3_groupby_agg"](spark, warm_dir).count()
+    warm = queries.get("b3_groupby_agg") or next(iter(queries.values()))
+    warm(spark, warm_dir).count()
 
     timings: dict[str, float | str] = {}
     failed = False

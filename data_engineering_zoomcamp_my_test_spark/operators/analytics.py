@@ -510,6 +510,16 @@ def winsorize(
     interpolated percentiles (same definition both engines), clip via
     least/greatest, 6-decimal grain on the clipped value.
 
+    ``was_clipped`` is defined at the SAME 6-decimal grain as the clipped
+    value (``round(value,6) != round(clip,6)``), not as a strict
+    comparison against the raw interpolated bound: the interpolation
+    ``lo + (hi-lo)*frac`` is evaluated in floating point, so two engines
+    can disagree by one ulp on the bound itself, and a data value landing
+    EXACTLY on the band edge then flips a strict ``<`` across engines
+    (observed at sf1: 9 of 1M rows with value == p5 band edge 2.52).
+    Rounding both sides to the output grain makes the flag a pure
+    function of the published columns.
+
     Plan: one keyed percentile aggregate per group (tiny result,
     broadcast back) + a corpus-sized projection. The percentile fit sorts
     only within the bounded per-group aggregate, not the whole corpus."""
@@ -517,20 +527,17 @@ def winsorize(
         F.percentile("value", F.lit(lo)).alias("_plo"),
         F.percentile("value", F.lit(hi)).alias("_phi"),
     )
+    clip6 = F.round(
+        F.least(F.greatest(F.col("value"), F.col("_plo")), F.col("_phi")), 6
+    )
     return (
         ev.join(F.broadcast(bands), "event_type")
         .select(
             "event_id",
             "event_type",
             "value",
-            F.round(
-                F.least(F.greatest(F.col("value"), F.col("_plo")), F.col("_phi")),
-                6,
-            ).alias("value_winsorized"),
-            (
-                (F.col("value") < F.col("_plo"))
-                | (F.col("value") > F.col("_phi"))
-            ).alias("was_clipped"),
+            clip6.alias("value_winsorized"),
+            (F.round(F.col("value"), 6) != clip6).alias("was_clipped"),
         )
     )
 
@@ -882,7 +889,8 @@ ORACLE = {
         )
         SELECT event_id, event_type, value,
                ROUND(least(greatest(value, plo), phi), 6) AS value_winsorized,
-               (value < plo OR value > phi) AS was_clipped
+               (ROUND(value, 6) != ROUND(least(greatest(value, plo), phi), 6))
+                 AS was_clipped
         FROM events JOIN bands USING (event_type)
     """,
     "c81_group_trend": """

@@ -1591,9 +1591,44 @@ ORACLE = {
                     ELSE 'train' END AS split
         FROM documents
     """,
-    "c57_jaccard_pair_count": f"""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
-        FROM ({_JACCARD_EDGES_SQL}) edges
+    # Copy-linear formulation (identical result to COUNT(*) over
+    # _JACCARD_EDGES_SQL — cross-checked equal at sf0.01/sf0.1/sf1):
+    # identical (source, text) docs are J == 1 pairs by definition, so the
+    # count decomposes into sz*(sz-1)/2 intra pairs per exact-copy group
+    # plus size-weighted pairs over DISTINCT texts only.  The naive
+    # edge-count oracle is quadratic in the copy ratio and stops being
+    # runnable at sf1 (copy-ratio 10); this one stays sf0.1-sized at any
+    # decade because distinct texts don't grow with copies.
+    "c57_jaccard_pair_count": """
+        WITH groups AS (
+          SELECT source, text, MIN(doc_id) AS rep, COUNT(*) AS sz
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source, text
+        ),
+        intra AS (SELECT COALESCE(SUM(sz * (sz - 1) / 2), 0) AS n FROM groups),
+        toks AS (
+          SELECT rep, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM groups
+        ),
+        sizes AS (SELECT rep, COUNT(*) AS n_tok FROM toks GROUP BY rep),
+        common AS (
+          SELECT a.rep AS ra, b.rep AS rb, COUNT(*) AS n_common
+          FROM toks a JOIN toks b
+            ON a.tok = b.tok AND a.rep < b.rep AND a.source = b.source
+          GROUP BY 1, 2
+        ),
+        rep_pairs AS (
+          SELECT ra, rb FROM common
+          JOIN sizes sa ON ra = sa.rep JOIN sizes sb ON rb = sb.rep
+          WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
+        ),
+        cross_n AS (
+          SELECT COALESCE(SUM(ga.sz * gb.sz), 0) AS n
+          FROM rep_pairs JOIN groups ga ON ra = ga.rep JOIN groups gb ON rb = gb.rep
+        )
+        SELECT CAST((SELECT n FROM intra) + (SELECT n FROM cross_n) AS BIGINT)
+               AS n_pairs
     """,
     "c62_dup_spans": _DUP_SPANS_SQL,
     "c63_cut_dup_spans": f"""

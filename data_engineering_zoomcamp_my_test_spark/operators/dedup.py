@@ -1377,26 +1377,63 @@ QUERIES = {
     "c63_cut_dup_spans": c63_cut_dup_spans,
 }
 
-_JACCARD_EDGES_SQL = """
-          SELECT doc_id_a, doc_id_b FROM (
-            WITH toks AS (
-              SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
-              FROM documents
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
-            common AS (
-              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
-              FROM toks a JOIN toks b
-                ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.source = b.source
-              GROUP BY 1, 2
-            )
-            SELECT doc_id_a, doc_id_b
-            FROM common
-            JOIN sizes sa ON doc_id_a = sa.doc_id
-            JOIN sizes sb ON doc_id_b = sb.doc_id
-            WHERE CAST(n_common AS DOUBLE)
-                    / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
-          ) j
+# Copy-linear clustering CTE chain with IDENTICAL cluster output to the
+# naive formulation (all-pairs token-Jaccard edges + label-propagation
+# recursion over all docs; c17's pair-list oracle keeps the all-pairs form
+# because the pair list IS its output).  Why identical: exact
+# (source, text) copies are J == 1 pairs, so every doc's component is its
+# representative's component, and a component's min doc_id equals its min
+# rep (each rep is already its group's min doc_id).  The recursion
+# therefore only needs the DISTINCT-text rep graph — both the edge join
+# and the fixpoint iteration stay sf0.1-sized at every decade, where the
+# naive form is quadratic in the copy ratio (unrunnable at sf1) and even
+# a star-edge variant drags every copy through every recursion pass
+# (measured 569 s at sf1 vs seconds for this form).  Ends with
+# ``doc_cluster(doc_id, cluster)``; NULL-text docs are singleton clusters
+# labelled by their own doc_id, exactly as isolated nodes were in the
+# naive recursion.
+_REP_CLUSTERS_SQL = """
+        groups AS (
+          SELECT source, text, MIN(doc_id) AS rep
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source, text
+        ),
+        toks AS (
+          SELECT rep, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM groups
+        ),
+        sizes AS (SELECT rep, COUNT(*) AS n_tok FROM toks GROUP BY rep),
+        common AS (
+          SELECT a.rep AS ra, b.rep AS rb, COUNT(*) AS n_common
+          FROM toks a JOIN toks b
+            ON a.tok = b.tok AND a.rep < b.rep AND a.source = b.source
+          GROUP BY 1, 2
+        ),
+        rep_edges AS (
+          SELECT ra, rb FROM common
+          JOIN sizes sa ON ra = sa.rep JOIN sizes sb ON rb = sb.rep
+          WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
+        ),
+        sym AS (
+          SELECT ra AS a, rb AS b FROM rep_edges
+          UNION
+          SELECT rb, ra FROM rep_edges
+        ),
+        reach(id, label) AS (
+          SELECT rep, rep FROM groups
+          UNION
+          SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
+        ),
+        rep_cluster AS (
+          SELECT id AS rep, MIN(label) AS cluster FROM reach GROUP BY id
+        ),
+        doc_cluster AS (
+          SELECT d.doc_id, COALESCE(rc.cluster, d.doc_id) AS cluster
+          FROM documents d
+          LEFT JOIN groups g ON d.source = g.source AND d.text = g.text
+          LEFT JOIN rep_cluster rc ON g.rep = rc.rep
+        )
 """
 
 _DUP_SPANS_SQL = """
@@ -1450,21 +1487,9 @@ ORACLE = {
     """,
     # c6_minhash / c6_lsh_dup_pairs: custom hash pipeline, rows-only check.
     "c43_keep_best_per_cluster": f"""
-        WITH RECURSIVE edges AS (
-          {_JACCARD_EDGES_SQL}
-        ),
-        sym AS (
-          SELECT doc_id_a AS a, doc_id_b AS b FROM edges
-          UNION
-          SELECT doc_id_b, doc_id_a FROM edges
-        ),
-        reach(id, label) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
-        ),
+        WITH RECURSIVE {_REP_CLUSTERS_SQL},
         clusters AS (
-          SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id
+          SELECT doc_id, cluster FROM doc_cluster
         ),
         scored AS (
           SELECT doc_id,
@@ -1492,21 +1517,8 @@ ORACLE = {
         FROM ranked WHERE rn = 1
     """,
     "c36_dedup_clusters": f"""
-        WITH RECURSIVE edges AS (
-          {_JACCARD_EDGES_SQL}
-        ),
-        sym AS (
-          SELECT doc_id_a AS a, doc_id_b AS b FROM edges
-          UNION
-          SELECT doc_id_b, doc_id_a FROM edges
-        ),
-        reach(id, label) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.id
-        )
-        SELECT id AS doc_id, MIN(label) AS cluster
-        FROM reach GROUP BY id
+        WITH RECURSIVE {_REP_CLUSTERS_SQL}
+        SELECT doc_id, cluster FROM doc_cluster
     """,
     "c29_incremental_dedup": """
         WITH normed AS (
@@ -1591,8 +1603,8 @@ ORACLE = {
                     ELSE 'train' END AS split
         FROM documents
     """,
-    # Copy-linear formulation (identical result to COUNT(*) over
-    # _JACCARD_EDGES_SQL — cross-checked equal at sf0.01/sf0.1/sf1):
+    # Copy-linear formulation (identical result to COUNT(*) over the naive
+    # all-pairs edge list — cross-checked equal at sf0.01/sf0.1/sf1):
     # identical (source, text) docs are J == 1 pairs by definition, so the
     # count decomposes into sz*(sz-1)/2 intra pairs per exact-copy group
     # plus size-weighted pairs over DISTINCT texts only.  The naive

@@ -96,3 +96,88 @@ def compare(name: str, spark_df, oracle_query: str, sf_dir: str) -> CompareResul
         row_count_oracle=len(oracle_rows),
         mismatches=mism,
     )
+
+
+def compare_digest(name: str, spark_df, oracle_query: str, sf_dir: str) -> CompareResult:
+    """Order-insensitive EXACT digest comparison for decls whose full result
+    is too large to collect (the compare() path is bounded by
+    spark.driver.maxResultSize). Both engines reduce the result to one
+    digest row — COUNT(*) plus per-column exact aggregates — entirely
+    engine-side, so nothing scales with the result:
+
+    - integral columns: SUM/MIN/MAX over DECIMAL(38,0) (overflow-proof);
+    - float columns: SUM over DECIMAL(38,6) of the same IEEE values (cast
+      is deterministic per value, and equality of every value implies
+      equality of the decimal sums — money-derived doubles in this engine
+      are already decimal-accumulated so their values are exact);
+    - booleans: count of TRUE;
+    - strings: SUM(LENGTH) + COUNT(DISTINCT) (weaker than a value hash —
+      documented as such; use compare() where the result fits).
+
+    A digest match is necessary-but-weaker evidence than the row-level
+    hash; a mismatch is always a real divergence."""
+    from pyspark.sql import functions as F
+
+    aggs_s: list = [F.count(F.lit(1)).alias("n")]
+    aggs_o: list[str] = ["COUNT(*) AS n"]
+    for f in spark_df.schema.fields:
+        c, t = f.name, f.dataType.simpleString()
+        if t in ("bigint", "int", "smallint", "tinyint", "long"):
+            aggs_s += [
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"),
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            ]
+            aggs_o += [
+                f'SUM(CAST("{c}" AS DECIMAL(38,0))) AS s_{c}',
+                f'MIN("{c}") AS mn_{c}',
+                f'MAX("{c}") AS mx_{c}',
+            ]
+        elif t in ("double", "float"):
+            aggs_s.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"s_{c}"))
+            aggs_o.append(f'SUM(CAST("{c}" AS DECIMAL(38,6))) AS s_{c}')
+        elif t == "boolean":
+            aggs_s.append(
+                F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(f"s_{c}")
+            )
+            aggs_o.append(
+                f'CAST(SUM(CASE WHEN "{c}" THEN 1 ELSE 0 END) AS BIGINT) AS s_{c}'
+            )
+        elif t == "string":
+            aggs_s += [
+                F.sum(F.length(c).cast("decimal(38,0)")).alias(f"l_{c}"),
+                F.countDistinct(c).alias(f"d_{c}"),
+            ]
+            aggs_o += [
+                f'SUM(CAST(LENGTH("{c}") AS DECIMAL(38,0))) AS l_{c}',
+                f'COUNT(DISTINCT "{c}") AS d_{c}',
+            ]
+        elif t.startswith("timestamp"):
+            aggs_s.append(
+                F.sum(F.unix_micros(c).cast("decimal(38,0)")).alias(f"s_{c}")
+            )
+            aggs_o.append(f'SUM(CAST(epoch_us("{c}") AS DECIMAL(38,0))) AS s_{c}')
+        else:
+            raise ValueError(f"compare_digest: unsupported column type {t} ({c})")
+
+    srow = spark_df.agg(*aggs_s).head().asDict()
+    con = _duckdb_con(sf_dir)
+    cols = ", ".join(aggs_o)
+    orow_rel = con.sql(f"SELECT {cols} FROM ({oracle_query}) _digest_src")
+    orow = dict(zip(orow_rel.columns, orow_rel.fetchone()))
+    con.close()
+
+    def _norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    mism = [
+        f"{k}: spark={_norm(srow.get(k))} oracle={_norm(orow.get(k))}"
+        for k in srow
+        if _norm(srow.get(k)) != _norm(orow.get(k))
+    ]
+    n = int(srow["n"])
+    return CompareResult(name, not mism, n, int(orow["n"]), mism)

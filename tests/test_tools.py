@@ -74,3 +74,24 @@ def test_bench_gate_math():
     import bench
 
     assert set(baseline["queries"]) <= set(bench.BENCH_QUERIES)
+
+
+def test_compare_digest_matches_and_detects_divergence(spark):
+    """compare_digest agrees with the hash compare on a green decl, and a
+    deliberately perturbed oracle makes it FAIL (digest is not vacuous)."""
+    from data_engineering_zoomcamp_my_test_spark.operators import (
+        all_oracle_sql,
+        all_queries,
+    )
+    from tests.oracle import compare_digest
+
+    sf = "/root/testdata/sf0.001"
+    q, o = all_queries(), all_oracle_sql()
+    for name in ("b44_win_value_fns", "c61_resample_ffill", "c63_cut_dup_spans"):
+        res = compare_digest(name, q[name](spark, sf), o[name], sf)
+        assert res.ok, f"{name}: {res.mismatches}"
+
+    # deliberate divergence: shift a column by 1 in the oracle
+    bad = f"SELECT o_orderkey + 1 AS o_orderkey, o_custkey, first_price, last_price, second_price FROM ({o['b44_win_value_fns']}) t"
+    res = compare_digest("b44_perturbed", q["b44_win_value_fns"](spark, sf), bad, sf)
+    assert not res.ok and any("o_orderkey" in m for m in res.mismatches)

@@ -69,6 +69,7 @@ def main() -> int:
             counts["skip"] += 1
             continue
         t0 = time.time()
+        print(f"run  {n} ...", flush=True)
         try:
             res = compare(n, queries[n](spark, args.sf_dir), oracles[n], args.sf_dir)
             mode = "hash"

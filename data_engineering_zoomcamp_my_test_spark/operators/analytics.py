@@ -520,6 +520,14 @@ def winsorize(
     Rounding both sides to the output grain makes the flag a pure
     function of the published columns.
 
+    **Contract note (behavior change, round 6):** this is a published-
+    semantics change, not only a determinism fix — a value exceeding the
+    winsor band by less than 5e-7 now reports ``was_clipped = false``
+    (it is unchanged at the 6-decimal output grain). Callers counting
+    clipped rows under the strict-bound definition will see (marginally)
+    different totals; the output-grain definition is the supported
+    contract because it is the only one reproducible across engines.
+
     Plan: one keyed percentile aggregate per group (tiny result,
     broadcast back) + a corpus-sized projection. The percentile fit sorts
     only within the bounded per-group aggregate, not the whole corpus."""

@@ -269,23 +269,27 @@ def _collapse_exact(
     information the group structure already contains (measured 11-16x
     wall-clock at sf1, where the scale generator makes c = 10).
 
-    NULL-text rows are singleton groups (rep_id = own doc_id), NOT one
-    shared NULL group: SQL window partitioning groups NULLs together, but
-    the non-collapsed pair plans all *drop* NULL texts (null tokens /
-    signatures never join), so a shared group would invent intra identity
-    pairs the plain plan never emits. As singletons they pass through to
-    the underlying plan, which drops them identically either way —
-    preserving the result-invisibility contract.
+    NULL-text rows — and, when ``block_col`` is set, NULL-*block* rows —
+    are singleton groups (rep_id = own doc_id), NOT one shared NULL group:
+    SQL window partitioning groups NULLs together, but the non-collapsed
+    pair plans all *drop* those rows (null tokens / signatures never join,
+    and the block equi-join ``a.block = b.block`` never matches NULLs), so
+    a shared group would invent intra identity pairs the plain plan never
+    emits. As singletons they pass through to the underlying plan, which
+    drops them identically either way — preserving the
+    result-invisibility contract (differential-tested for both NULL text
+    and NULL block in ``test_operators_unit.py``).
     """
     from pyspark.sql.window import Window
 
     blk = [block_col] if block_col else []
     w = Window.partitionBy(*blk, "text")
+    singleton = F.col("text").isNull()
+    if block_col:
+        singleton = singleton | F.col(block_col).isNull()
     with_rep = docs.withColumn(
         "rep_id",
-        F.when(F.col("text").isNull(), F.col("doc_id")).otherwise(
-            F.min("doc_id").over(w)
-        ),
+        F.when(singleton, F.col("doc_id")).otherwise(F.min("doc_id").over(w)),
     ).localCheckpoint()
     mapping = with_rep.select("doc_id", "rep_id")
     reps = with_rep.filter(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
@@ -392,13 +396,17 @@ def token_jaccard_pairs(
     if collapse_exact:
         n, nd = _copy_stats(docs, block_col)
         has_copies = n >= 1.5 * max(nd, 1)
-        if output == "pairs" and has_copies:
+        if output == "pairs" and n > nd:
             # The pair LIST is the one honestly output-quadratic contract:
             # with uniform copy ratio c = n/nd the identity pairs ALONE are
             # nd * c*(c-1)/2 = n*(c-1)/2 — a floor on the result size that
             # no plan can avoid (it is the answer). Warn past the threshold
             # so 100 TB callers reach for the linear forms instead of
-            # discovering the contract the expensive way.
+            # discovering the contract the expensive way. Evaluated
+            # independently of the 1.5x collapse trigger: at n = 100M a
+            # copy ratio of just 1.25 already implies ~12.5M identity
+            # pairs, so the blow-up estimate must not wait for the
+            # collapse plan to be selected.
             est_identity_pairs = int(n * (n / max(nd, 1) - 1) / 2)
             if est_identity_pairs > _PAIR_LIST_WARN_THRESHOLD:
                 msg = (
@@ -1394,8 +1402,13 @@ QUERIES = {
 # naive recursion.
 _REP_CLUSTERS_SQL = """
         groups AS (
+          -- source IS NOT NULL: the pair plans' block equi-join never
+          -- matches NULL blocks, so NULL-source docs are singletons (the
+          -- doc_cluster LEFT JOIN below already leaves them unmatched ->
+          -- COALESCE to their own doc_id); grouping them here would
+          -- invent intra pairs the operator never emits.
           SELECT source, text, MIN(doc_id) AS rep
-          FROM documents WHERE text IS NOT NULL
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
           GROUP BY source, text
         ),
         toks AS (
@@ -1613,8 +1626,10 @@ ORACLE = {
     # decade because distinct texts don't grow with copies.
     "c57_jaccard_pair_count": """
         WITH groups AS (
+          -- source IS NOT NULL matches the operator: the block equi-join
+          -- never pairs NULL sources, so those docs contribute no pairs.
           SELECT source, text, MIN(doc_id) AS rep, COUNT(*) AS sz
-          FROM documents WHERE text IS NOT NULL
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
           GROUP BY source, text
         ),
         intra AS (SELECT COALESCE(SUM(sz * (sz - 1) / 2), 0) AS n FROM groups),

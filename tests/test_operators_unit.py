@@ -387,6 +387,50 @@ def test_collapse_null_text_rows_differential(spark):
     assert sh_fast == sh_plain
 
 
+def test_collapse_null_block_rows_differential(spark):
+    """Block twin of the NULL-text test (ADVICE r6): the pair plans'
+    block equi-join ``a.source = b.source`` never matches NULL sources,
+    so NULL-block rows pair with NOTHING — the collapse must treat them
+    as singletons rather than grouping them into one shared NULL block
+    and inventing J == 1 intra pairs. Copy-heavy so the probe fires,
+    with several identical texts under a NULL source."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    texts = ["the quick brown fox jumps over a lazy dog today",
+             "the quick brown fox jumps over a lazy cat today"] * 6
+    rows = [(i, "s0" if i % 3 else None, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    null_ids = {i for i, s, _ in rows if s is None}
+
+    key = lambda r: (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))  # noqa: E731
+    plain = sorted(map(key, token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source", collapse_exact=False
+    ).collect()))
+    fast = sorted(map(key, token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source"
+    ).collect()))
+    assert fast == plain and len(fast) > 0
+    assert all(a not in null_ids and b not in null_ids for a, b, _ in fast)
+
+    # arithmetic count form must agree with the materialized list
+    n_count = token_jaccard_pairs(
+        docs, threshold=0.5, block_col="source", output="count"
+    ).collect()[0][0]
+    assert n_count == len(fast)
+
+    # cluster labels: NULL-source docs are singleton clusters
+    clusters = {
+        r.doc_id: r.cluster
+        for r in dedup_clusters(docs, block_col="source").collect()
+    }
+    for i in null_ids:
+        assert clusters[i] == i
+
+
 def test_collapse_zero_and_null_vector_differential(spark):
     """Vector twin of the NULL-text test: NULL and zero-norm embeddings
     are unpairable by contract (cosine undefined; ANSI mode would raise
@@ -1071,3 +1115,20 @@ def test_pair_list_safety_valve_warns_and_strict_raises(spark, monkeypatch, capl
     with caplog.at_level(logging.WARNING, logger=dedup.__name__):
         assert dedup.token_jaccard_pairs(df, threshold=0.9).count() == n_pairs
     assert not [r for r in caplog.records if "quadratic" in r.message]
+
+    # ADVICE r6: the valve must fire below the 1.5x collapse trigger too —
+    # the identity-pair floor n*(c-1)/2 does not need the collapse plan.
+    # 100 docs, ratio 100/90 ~ 1.11 < 1.5, floor = 10*... use distincts:
+    # 90 distinct texts + 10 extra copies -> est = 100*(100/90-1)/2 ~ 5.5.
+    low_ratio = [(i, f"unique text number {i} with filler words")
+                 for i in range(90)] + [
+        (90 + j, f"unique text number {j} with filler words") for j in range(10)
+    ]
+    df2 = spark.createDataFrame(low_ratio, "doc_id long, text string")
+    monkeypatch.setattr(dedup, "_PAIR_LIST_WARN_THRESHOLD", 3)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+        dedup.token_jaccard_pairs(df2, threshold=0.9).count()
+    assert any("quadratic" in r.message for r in caplog.records)
+    with pytest.raises(ValueError, match="quadratic in the copy count"):
+        dedup.token_jaccard_pairs(df2, threshold=0.9, strict_scale=True)

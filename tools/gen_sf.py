@@ -100,6 +100,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    known = set(_FIXED_DIMS) | set(_SHIFT_COLS)
+    unknown = sorted(set(args.tables or ()) - known)
+    if unknown:
+        raise SystemExit(
+            f"gen_sf: unknown --tables {unknown}; known tables: {sorted(known)}"
+        )
     os.makedirs(args.dst, exist_ok=True)
     strides = _strides(spark, args.src)
     wanted = set(args.tables) if args.tables else None

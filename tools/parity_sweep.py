@@ -79,10 +79,19 @@ def main() -> int:
                 counts["err"] += 1
                 failures.append(n)
                 continue
-            # result too large to collect -> engine-side digest
-            res = compare_digest(
-                n, queries[n](spark, args.sf_dir), oracles[n], args.sf_dir
-            )
+            # result too large to collect -> engine-side digest; the
+            # fallback gets its own guard so a digest-path error (e.g.
+            # unsupported column type) records ERR and the sweep continues
+            # instead of aborting wholesale.
+            try:
+                res = compare_digest(
+                    n, queries[n](spark, args.sf_dir), oracles[n], args.sf_dir
+                )
+            except Exception as dexc:
+                print(f"ERR  {n} (digest): {str(dexc)[:160]}", flush=True)
+                counts["err"] += 1
+                failures.append(n)
+                continue
             mode = "digest"
         dt = time.time() - t0
         if res.ok:

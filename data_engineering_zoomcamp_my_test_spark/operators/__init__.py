@@ -45,10 +45,10 @@ _PRIORITY = (
     # Tier B core SQL surface (B1-B28)
     "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
     "b5_approx_distinct", "b6_join_inner", "b7_join_multiway", "b8_join_left",
-    "b9_join_anti", "b10_join_range", "b11_cross",
+    "b9_join_anti", "b10_join_range",
     "b12_subq_scalar", "b13_rollup", "b14_win_rank", "b15_win_lag",
-    "b16_win_frame", "b17_sort", "b18_topk", "b19_setops", "b20_case",
-    "b21_string_fns", "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
+    "b16_win_frame", "b18_topk",
+    "b22_date_fns", "b24_nulls", "b25_cast",
     "b26_cte", "b27_having", "b28_array_fns",
     # Tier C mandated rows C1-C10.  The same-row companions that used to sit
     # here (c13_knn_all, c9b_session_window, c21_json_agg, b9_join_semi's twin
@@ -72,13 +72,23 @@ _PRIORITY = (
     # (VERDICT r5 #2: replayed micro-batch state vs batch SQL — the
     # catalog's most novel correctness claims, swapped into the batch as
     # the verdict allows; c47/c50 defer one round).
-    # Round 7 plan: once these are driver-green, seat c80_streaming_sliding,
-    # c72_attribution_join, c47_hash_split, c50_pack_sequences, then c52/
-    # c55, then the round-5 additions c58-c83/b44-b49, then c14-c16/c20/
-    # c30/c31/c38/c39/c18, then the rows-only decls.
-    "c56_ngram_jaccard_pairs", "c40_topk_agg", "c41_weighted_avg",
-    "c42_corr", "c44_session_funnel",
-    "c66_streaming_tumbling", "c78_streaming_session",
+    # Round 7 (VERDICT r6 #2): the rotation window is WIDENED for one
+    # round — six Tier-B pins that have been driver-green every round
+    # since r1 with untouched code (b11_cross, b17_sort, b19_setops,
+    # b20_case, b21_string_fns, b23_math_fns) rotate out to double seat
+    # throughput; they stay covered by the repo's sf0.01/sf0.1 parity
+    # layers and return to the pins in round 8.  The 13 seats follow the
+    # written drain plan (VERDICT r6 #1): the c80/c72/c47/c50 batch, then
+    # c52/c55/c64, the freshly bug-fixed c82 and semantics-fixed c57, and
+    # the b46-b49 TPC-H shapes.  Remaining never-seated after r7:
+    # b44/b45, c62/c63, c38/c39/c67, c18/c76, c14-c16/c20/c30/c31,
+    # c58-c61/c65/c68/c70/c71/c73-c75/c77/c79/c81/c83, c69, then the
+    # rows-only decls (c19/c45/c48/c53/c54).
+    "c80_streaming_sliding", "c72_attribution_join", "c47_hash_split",
+    "c50_pack_sequences", "c52_salted_hot_agg", "c55_asof_two_streams",
+    "c64_curation_pipeline", "c82_winsorize", "c57_jaccard_pair_count",
+    "b46_q18_big_orders", "b47_q14_promo_revenue", "b48_q19_disjunctive",
+    "b49_q7_volume_shipping",
 )
 
 

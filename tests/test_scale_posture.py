@@ -201,6 +201,15 @@ def test_driver_window_contains_all_mandated_decls():
     out in round 4 to widen the rotation window — their mandated twins
     (c3/c9/c10/b9_join_anti) remain pinned."""
     names = list(all_queries())[:50]
+    # Round 7 (VERDICT r6 #2): six Tier-B pins driver-green every round
+    # since r1 with untouched code rotate OUT for one round to double the
+    # first-ever seat throughput; they stay hash-green in the repo's
+    # sf0.01/sf0.1 parity layers (test_oracle_parity.py runs them) and
+    # return to the pins in round 8.
+    swapped_out_r7 = {
+        "b11_cross", "b17_sort", "b19_setops", "b20_case",
+        "b21_string_fns", "b23_math_fns",
+    }
     mandated = [
         "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
         *[f"b{i}_" for i in range(1, 29)],  # prefixes checked below
@@ -210,6 +219,8 @@ def test_driver_window_contains_all_mandated_decls():
     ]
     for m in mandated:
         if m.endswith("_"):
+            if any(s.startswith(m) for s in swapped_out_r7):
+                continue
             assert any(n.startswith(m) for n in names), f"missing {m}* in window"
         else:
             assert m in names, f"{m} fell out of the driver's 50-query window"
@@ -217,11 +228,15 @@ def test_driver_window_contains_all_mandated_decls():
     # driver correctness row (window position would be wasted otherwise).
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    seats = names[43:]
-    assert len(seats) == 7
+    seats = names[37:]
+    assert len(seats) == 13
     oracles = all_oracle_sql()
     for s in seats:
         assert s in oracles, f"rotation seat {s} has no exact oracle"
+    # the swapped-out pins must still be registered and oracle-bearing
+    registry = set(all_queries())
+    for s in swapped_out_r7:
+        assert s in registry and s in oracles
 
 
 def test_repetition_stats_single_shuffle_no_join(spark, sf_small):

@@ -111,8 +111,16 @@ def compare_digest(name: str, spark_df, oracle_query: str, sf_dir: str) -> Compa
       equality of the decimal sums — money-derived doubles in this engine
       are already decimal-accumulated so their values are exact);
     - booleans: count of TRUE;
-    - strings: SUM(LENGTH) + COUNT(DISTINCT) (weaker than a value hash —
-      documented as such; use compare() where the result fits).
+    - strings: SUM(LENGTH) + COUNT(DISTINCT) + an order-insensitive
+      per-row MD5 hash sum — the first and second 8 hex chars of
+      md5(value) parsed as 32-bit ints and summed as DECIMAL(38,0) in
+      BOTH engines (MD5 of the UTF-8 bytes is engine-independent, and
+      comparing the two half-sums is equivalent in strength to the
+      combined 64-bit sum since sum(hi*2^32+lo) = 2^32*sum(hi)+sum(lo)).
+      A multiset difference in values is invisible to this digest only
+      if the 64-bit hash sums collide (~2^-64 per the standard
+      fingerprinting argument) — no longer materially weaker than the
+      row-level hash.
 
     A digest match is necessary-but-weaker evidence than the row-level
     hash; a mismatch is always a real divergence."""
@@ -144,13 +152,24 @@ def compare_digest(name: str, spark_df, oracle_query: str, sf_dir: str) -> Compa
                 f'CAST(SUM(CASE WHEN "{c}" THEN 1 ELSE 0 END) AS BIGINT) AS s_{c}'
             )
         elif t == "string":
+            md5_s = F.md5(F.col(c).cast("binary"))
             aggs_s += [
                 F.sum(F.length(c).cast("decimal(38,0)")).alias(f"l_{c}"),
                 F.countDistinct(c).alias(f"d_{c}"),
+                F.sum(
+                    F.conv(F.substring(md5_s, 1, 8), 16, 10).cast("decimal(38,0)")
+                ).alias(f"h1_{c}"),
+                F.sum(
+                    F.conv(F.substring(md5_s, 9, 8), 16, 10).cast("decimal(38,0)")
+                ).alias(f"h2_{c}"),
             ]
             aggs_o += [
                 f'SUM(CAST(LENGTH("{c}") AS DECIMAL(38,0))) AS l_{c}',
                 f'COUNT(DISTINCT "{c}") AS d_{c}',
+                f"SUM(CAST(CAST('0x' || substring(md5(\"{c}\"), 1, 8) AS BIGINT)"
+                f" AS DECIMAL(38,0))) AS h1_{c}",
+                f"SUM(CAST(CAST('0x' || substring(md5(\"{c}\"), 9, 8) AS BIGINT)"
+                f" AS DECIMAL(38,0))) AS h2_{c}",
             ]
         elif t.startswith("timestamp"):
             aggs_s.append(

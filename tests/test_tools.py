@@ -95,3 +95,14 @@ def test_compare_digest_matches_and_detects_divergence(spark):
     bad = f"SELECT o_orderkey + 1 AS o_orderkey, o_custkey, first_price, last_price, second_price FROM ({o['b44_win_value_fns']}) t"
     res = compare_digest("b44_perturbed", q["b44_win_value_fns"](spark, sf), bad, sf)
     assert not res.ok and any("o_orderkey" in m for m in res.mismatches)
+
+    # string-VALUE divergence invisible to length-sum + distinct-count
+    # (VERDICT r6 #3): reversing each string preserves both, so only the
+    # md5 hash-sum aggregates can flag it.
+    bad_s = (
+        "SELECT doc_id, reverse(clean_text) AS clean_text, n_removed "
+        f"FROM ({o['c63_cut_dup_spans']}) t"
+    )
+    res = compare_digest("c63_perturbed", q["c63_cut_dup_spans"](spark, sf), bad_s, sf)
+    assert not res.ok
+    assert all(("h1_" in m) or ("h2_" in m) for m in res.mismatches), res.mismatches

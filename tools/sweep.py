@@ -27,9 +27,18 @@ from data_engineering_zoomcamp_my_test_spark.session import EngineConfig, get_sp
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # SPARK_GRAFT_EVENT_LOG_DIR=/path turns on Spark event logging for the
+    # sweep session — used to adjudicate transients at generated decades
+    # (VERDICT r6 #5: the one-off stopped-SparkContext at sf100).
+    extra: dict[str, str] = {}
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENT_LOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": ev_dir}
     spark = get_spark(
         EngineConfig(
-            master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="sweep"
+            master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="sweep",
+            extra=extra,
         )
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -181,3 +181,57 @@ def minhash_bands_ref(text: str) -> list[tuple[int, int]]:
         (b, murmur3_hash_long_array(sig[b * rows_per_band : (b + 1) * rows_per_band]))
         for b in range(_N_BANDS)
     ]
+
+
+def minhash_bands_udf_ref(text: str) -> list[tuple[int, int]]:
+    """Reference recomputation of one document's rows in the Arrow-UDF
+    variant (`minhash_bands`, decl c6_minhash): whitespace-collapsing
+    ``str.split()``, crc32 shingle SET, 31-bit field minhash, banded
+    Murmur3. Scalar loops — independent of the NumPy broadcast the UDF
+    uses (only stdlib zlib.crc32 is shared, by the UDF's own contract)."""
+    import zlib
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        _MINHASH_PRIME_31 as p31,
+        _N_BANDS,
+        _N_HASHES,
+        _PARAMS,
+        _SHINGLE_K as k,
+    )
+
+    toks = text.split()
+    shingles = {
+        zlib.crc32(" ".join(toks[i : i + k]).encode())
+        for i in range(max(1, len(toks) - k + 1))
+    }
+    mods = [s % p31 for s in shingles]
+    sig = []
+    for a, b in _PARAMS:
+        a31 = (a % p31) or 1
+        b31 = b % p31
+        sig.append(min((a31 * s + b31) % p31 for s in mods))
+    rows_per_band = _N_HASHES // _N_BANDS
+    return [
+        (b, murmur3_hash_long_array(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+        for b in range(_N_BANDS)
+    ]
+
+
+def lsh_candidate_pairs_ref(texts: dict[int, str]) -> set[tuple[int, int]]:
+    """Reference candidate-pair set for `lsh_candidate_pairs` (decl
+    c6_lsh_dup_pairs): JVM-variant bands per doc, bucket by (band,
+    band_hash), emit every (lo, hi) doc_id pair sharing a bucket. The
+    engine's exact-copy collapse + expansion is an optimization that must
+    not change this set — comparing against the direct quadratic
+    formulation checks exactly that."""
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in texts.items():
+        for band, band_hash in minhash_bands_ref(text):
+            buckets.setdefault((band, band_hash), []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs

@@ -19,11 +19,17 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from data_engineering_zoomcamp_my_test_spark.operators.dedup import minhash_bands_jvm
+from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_bands,
+    minhash_bands_jvm,
+)
 from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
 
 from .reference_hashes import (
+    lsh_candidate_pairs_ref,
     minhash_bands_ref,
+    minhash_bands_udf_ref,
     murmur3_hash_long_array,
     xxh64_signed,
 )
@@ -73,14 +79,38 @@ def test_murmur3_long_array_matches_spark(hash_vectors):
         assert murmur3_hash_long_array(list(r["arr"])) == r["h"], r["arr"]
 
 
-def test_c33_full_corpus_matches_reference(spark):
+@pytest.fixture(scope="module")
+def corpus_texts(spark):
     docs = load_table(spark, SF_DIR, "documents")
-    texts = {
-        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
-    }
+    return {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+
+def test_c33_full_corpus_matches_reference(spark, corpus_texts):
+    docs = load_table(spark, SF_DIR, "documents")
     got = {}
     for r in minhash_bands_jvm(docs).collect():
         got.setdefault(r["doc_id"], []).append((r["band"], r["band_hash"]))
-    assert set(got) == set(texts)
-    for doc_id, text in texts.items():
+    assert set(got) == set(corpus_texts)
+    for doc_id, text in corpus_texts.items():
         assert sorted(got[doc_id]) == minhash_bands_ref(text), f"doc {doc_id}"
+
+
+def test_c6_udf_full_corpus_matches_reference(spark, corpus_texts):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {}
+    for r in minhash_bands(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["band"], r["band_hash"]))
+    assert set(got) == set(corpus_texts)
+    for doc_id, text in corpus_texts.items():
+        assert sorted(got[doc_id]) == minhash_bands_udf_ref(text), f"doc {doc_id}"
+
+
+def test_c6_lsh_dup_pairs_match_reference(spark, corpus_texts):
+    """The engine's collapse+expand candidate-pair pipeline must equal the
+    direct quadratic bucket formulation computed from reference bands."""
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert got == lsh_candidate_pairs_ref(corpus_texts)

@@ -84,6 +84,10 @@ _PRIORITY = (
     # b44/b45, c62/c63, c38/c39/c67, c18/c76, c14-c16/c20/c30/c31,
     # c58-c61/c65/c68/c70/c71/c73-c75/c77/c79/c81/c83, c69, then the
     # rows-only decls (c19/c45/c48/c53/c54).
+    # Round 8 plan: RESTORE the six swapped-out Tier-B pins per the
+    # one-round adjudication, drop the 13 r7 seats (driver-green by
+    # then), and seat the next 7 from the drain order: b44/b45,
+    # c62/c63, c38/c39, c67.
     "c80_streaming_sliding", "c72_attribution_join", "c47_hash_split",
     "c50_pack_sequences", "c52_salted_hot_agg", "c55_asof_two_streams",
     "c64_curation_pipeline", "c82_winsorize", "c57_jaccard_pair_count",

@@ -106,3 +106,15 @@ def test_compare_digest_matches_and_detects_divergence(spark):
     res = compare_digest("c63_perturbed", q["c63_cut_dup_spans"](spark, sf), bad_s, sf)
     assert not res.ok
     assert all(("h1_" in m) or ("h2_" in m) for m in res.mismatches), res.mismatches
+
+
+def test_sweep_action_env_validated_before_session(monkeypatch):
+    # SPARK_GRAFT_ACTION guards fire before any Spark session is built, so a
+    # typo fails in ~0s instead of after a JVM launch (mirrors the
+    # SPARK_GRAFT_ONLY / gen_sf --tables validation convention).
+    import pytest
+
+    sweep = _load("sweep")
+    monkeypatch.setenv("SPARK_GRAFT_ACTION", "materialise")  # typo'd value
+    with pytest.raises(SystemExit, match="SPARK_GRAFT_ACTION"):
+        sweep.main()

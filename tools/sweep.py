@@ -27,6 +27,9 @@ from data_engineering_zoomcamp_my_test_spark.session import EngineConfig, get_sp
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    action_kind = os.environ.get("SPARK_GRAFT_ACTION", "count")
+    if action_kind not in ("count", "hash"):
+        raise SystemExit(f"sweep: unknown SPARK_GRAFT_ACTION {action_kind!r}")
     # SPARK_GRAFT_EVENT_LOG_DIR=/path turns on Spark event logging for the
     # sweep session — used to adjudicate transients at generated decades
     # (VERDICT r6 #5: the one-off stopped-SparkContext at sf100).
@@ -62,12 +65,34 @@ def main() -> int:
     warm = queries.get("b3_groupby_agg") or next(iter(queries.values()))
     warm(spark, warm_dir).count()
 
+    # SPARK_GRAFT_ACTION=hash swaps the default `.count()` timing action for
+    # a full-row xxhash64 aggregate.  `.count()` is the cheap, stable default
+    # (and what every prior round's tables were measured with), but Catalyst
+    # prunes projection columns a count never reads — so for row-per-input
+    # shapes (c10/c23/c34-style) it times plan+scan, not the published
+    # columns.  The hash action forces every output column to materialize
+    # while still returning one row to the driver (no collect of the result).
+    def run_action(df) -> None:
+        if action_kind == "hash":
+            from pyspark.sql import functions as F
+
+            try:
+                df.select(
+                    F.sum(F.xxhash64(F.struct(*df.columns))).alias("h")
+                ).collect()
+                return
+            except Exception:
+                # fall back per-decl (e.g. a column type xxhash64 rejects);
+                # the count is still a valid timing floor for that decl.
+                pass
+        df.count()
+
     timings: dict[str, float | str] = {}
     failed = False
     for name, fn in queries.items():
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            run_action(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # surface, keep sweeping
             timings[name] = f"ERR: {str(exc)[:120]}"
@@ -75,7 +100,13 @@ def main() -> int:
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 1)
     print(
         json.dumps(
-            {"sf_dir": sf_dir, "total_sec": total, "n": len(timings), "queries": timings}
+            {
+                "sf_dir": sf_dir,
+                "action": action_kind,
+                "total_sec": total,
+                "n": len(timings),
+                "queries": timings,
+            }
         )
     )
     spark.stop()

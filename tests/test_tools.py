@@ -118,3 +118,54 @@ def test_sweep_action_env_validated_before_session(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ACTION", "materialise")  # typo'd value
     with pytest.raises(SystemExit, match="SPARK_GRAFT_ACTION"):
         sweep.main()
+
+
+def test_empty_input_grouping_sets_divergence_pinned(spark):
+    """Engine-behavior pin for a REAL divergence the differential fuzzer
+    found (seed "newshapes", i=33): grouping sets over an EMPTY input.
+
+    Spark returns zero rows for GROUP BY ROLLUP(...)/GROUPING SETS(())
+    when the filtered input relation is empty; DuckDB (like PostgreSQL,
+    following the standard's GROUPING SETS(()) = global-aggregate reading)
+    emits the grand-total row with COUNT=0 / NULL aggregates.  gen_rollup
+    therefore generates no WHERE clause; if either engine changes
+    behavior, this test fails and the shape can be widened."""
+    import duckdb
+
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView(
+        "li_empty_probe"
+    )
+    sql = (
+        "SELECT l_returnflag AS g0, COUNT(*) AS c FROM {t} "
+        "WHERE l_linenumber IS NULL GROUP BY ROLLUP(l_returnflag)"
+    )
+    assert spark.sql(sql.format(t="li_empty_probe")).count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW li_empty_probe AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    rows = con.execute(sql.format(t="li_empty_probe")).fetchall()
+    con.close()
+    assert rows == [(None, 0)]
+
+
+def test_fuzzer_unique_keys_validated_against_corpus():
+    """build_pools asserts every declared total-order key is duplicate-free
+    in the target corpus (the driver regenerates testdata per round), and
+    raises on a stale declaration instead of producing phantom divergences."""
+    import pytest
+
+    fuzz = _load("fuzz_differential")
+    # current declarations hold at sf0.01 (incl. the 3-column lineitem key)
+    pools = fuzz.build_pools("/root/testdata/sf0.01")
+    assert "lineitem" in pools
+    # the pre-fix 2-column lineitem key has ~11.8k duplicate pairs -> raises
+    orig = fuzz.TABLES["lineitem"]["unique"]
+    try:
+        fuzz.TABLES["lineitem"]["unique"] = ["l_orderkey", "l_linenumber"]
+        with pytest.raises(ValueError, match="duplicate"):
+            fuzz.build_pools("/root/testdata/sf0.01")
+    finally:
+        fuzz.TABLES["lineitem"]["unique"] = orig

@@ -80,7 +80,10 @@ TABLES: dict[str, dict[str, list[str]]] = {
         "ratio": ["l_discount", "l_tax"],
         "str": ["l_returnflag", "l_linestatus"],
         "ts": ["l_shipdate"],
-        "unique": ["l_orderkey", "l_linenumber"],
+        # NOT (l_orderkey, l_linenumber): the driver-generated corpus has
+        # ~11.8k duplicate pairs at sf0.01; l_extendedprice totalizes the
+        # key at every generated SF (asserted in build_pools).
+        "unique": ["l_orderkey", "l_linenumber", "l_extendedprice"],
         "lowcard": ["l_returnflag", "l_linestatus"],
     },
     "orders": {
@@ -188,6 +191,19 @@ def build_pools(sf_dir: str) -> dict[str, dict[str, list]]:
                 f"TIMESTAMP[]) FROM '{path}'"
             ).fetchone()
             p["ts"][c] = [str(v) for v in (rows[0] or []) if v is not None]
+        # Shapes that promise a total order (orderlimit, window ROW_NUMBER)
+        # lean on "unique" actually being duplicate-free in THIS corpus —
+        # the driver regenerates testdata per round, so verify, don't trust.
+        key = ", ".join(meta["unique"])
+        dup = con.sql(
+            f"SELECT COUNT(*) FROM (SELECT {key} FROM '{path}' "
+            f"GROUP BY {key} HAVING COUNT(*) > 1)"
+        ).fetchone()[0]
+        if dup:
+            raise ValueError(
+                f"declared unique key ({key}) of {t} has {dup} duplicate "
+                f"groups in {sf_dir} — fix TABLES before fuzzing"
+            )
         pools[t] = p
     con.close()
     return pools
@@ -480,12 +496,89 @@ def gen_setop(rng: random.Random, pools: dict) -> str:
     )
 
 
+def gen_exists(rng: random.Random, pools: dict) -> str:
+    """Semi/anti join via (NOT) EXISTS along an FK edge, dim side out."""
+    fact, fk, dim, dk = rng.choice(JOIN_EDGES)
+    gf, gd = Gen(rng, fact, pools), Gen(rng, dim, pools)
+    neg = rng.choice(["EXISTS", "NOT EXISTS"])
+    cols = [f"{c} AS c{i}" for i, c in enumerate(gd.t["unique"])]
+    if gd.t["str"]:
+        cols.append(f"{gd.str_expr(1)} AS s0")
+    outer = f" AND {gd.pred(1)}" if rng.random() < 0.5 else ""
+    return (
+        f"SELECT {', '.join(cols)} FROM {dim} WHERE {neg} "
+        f"(SELECT 1 FROM {fact} WHERE {fact}.{fk} = {dim}.{dk} "
+        f"AND {gf.pred(1)}){outer}"
+    )
+
+
+def gen_rollup(rng: random.Random, pools: dict) -> str:
+    """ROLLUP over two low-card columns.  Data NULLs and rolled-up NULLs
+    are indistinguishable per-row, but the full multisets still agree.
+
+    No WHERE clause — deliberately.  Grouping sets over an EMPTY input are
+    a real engine divergence this fuzzer found (seed "newshapes", i=33):
+    Spark returns zero rows for GROUP BY ROLLUP(...)/GROUPING SETS(())
+    when the input relation is empty, while DuckDB (and PostgreSQL, per
+    the standard's GROUPING SETS(()) ≡ global-aggregate reading) emit the
+    grand-total row with COUNT=0/NULL aggregates.  A random predicate can
+    empty the input, so predicates are excluded from this shape; the
+    divergence itself is pinned in tests/test_tools.py."""
+    t = rng.choice(list(TABLES))
+    g = Gen(rng, t, pools)
+    k0 = rng.choice(g.t["lowcard"])
+    k1_candidates = [c for c in g.t["lowcard"] + g.t["str"] if c != k0]
+    k1 = rng.choice(k1_candidates)  # every table has >= 2 distinct candidates
+    aggs = [g.agg_expr(f"a{i}") for i in range(rng.randrange(1, 3))]
+    return (
+        f"SELECT {k0} AS g0, {k1} AS g1, {', '.join(aggs)} FROM {t} "
+        f"GROUP BY ROLLUP({k0}, {k1})"
+    )
+
+
+def gen_orderlimit(rng: random.Random, pools: dict) -> str:
+    """Top-k with a provably total order: any expr prefix, unique-key tail
+    (explicit NULLS placement — engine defaults differ)."""
+    t = rng.choice(list(TABLES))
+    g = Gen(rng, t, pools)
+    exprs = _select_exprs(g, rng.randrange(1, 3))
+    keys = [f"{c} AS k{i}" for i, c in enumerate(g.t["unique"])]
+    lead = ""
+    if rng.random() < 0.6:
+        col = rng.choice(g.t["int"] + (g.t["money"] or g.t["int"]))
+        lead = f"{col} {rng.choice(['ASC NULLS FIRST', 'DESC NULLS LAST'])}, "
+    tail = ", ".join(f"k{i} {rng.choice(['ASC', 'DESC'])}" for i in range(len(g.t["unique"])))
+    where = f" WHERE {g.pred(1)}" if rng.random() < 0.5 else ""
+    return (
+        f"SELECT {', '.join(keys + exprs)} FROM {t}{where} "
+        f"ORDER BY {lead}{tail} LIMIT {rng.randrange(1, 200)}"
+    )
+
+
+def gen_scalar_sub(rng: random.Random, pools: dict) -> str:
+    """Uncorrelated scalar subquery in the WHERE clause."""
+    t, t2 = rng.sample(list(TABLES), 2)
+    g, g2 = Gen(rng, t, pools), Gen(rng, t2, pools)
+    op = rng.choice(["<", "<=", ">", ">=", "<>"])
+    fn = rng.choice(["MIN", "MAX"])
+    sub = f"(SELECT {fn}({g2.int_expr(1)}) FROM {t2} WHERE {g2.pred(1)})"
+    exprs = _select_exprs(g, rng.randrange(1, 3))
+    return (
+        f"SELECT {', '.join(exprs)} FROM {t} "
+        f"WHERE {g.int_expr(1)} {op} {sub}"
+    )
+
+
 SHAPES = {
     "project": gen_project,
     "agg": gen_agg,
     "join": gen_join,
     "window": gen_window,
     "setop": gen_setop,
+    "exists": gen_exists,
+    "rollup": gen_rollup,
+    "orderlimit": gen_orderlimit,
+    "scalar_sub": gen_scalar_sub,
 }
 
 
@@ -513,18 +606,29 @@ def run_campaign(
     seed,
     shapes: list[str] | None = None,
     max_failures: int = 10,
+    row_cap: int = 200_000,
 ) -> dict:
-    from tests.oracle import compare
+    """Compare ``n`` generated queries.  Results up to ``row_cap`` rows are
+    compared row-for-row; larger ones fall back to the engine-side exact
+    digest (tests/oracle.compare_digest) so campaigns scale to sf1+ where
+    a project shape can emit millions of rows."""
+    from tests.oracle import compare, compare_digest
 
     register_views(spark, sf_dir)
     pools = build_pools(sf_dir)
     ok = 0
+    digested = 0
     failures: list[dict] = []
     errors: list[dict] = []
     for i in range(n):
         sql = gen_query(seed, i, pools, shapes)
         try:
-            res = compare(f"fuzz_{i}", spark.sql(sql), sql, sf_dir)
+            df = spark.sql(sql)
+            if df.count() > row_cap:
+                res = compare_digest(f"fuzz_{i}", df, sql, sf_dir)
+                digested += 1
+            else:
+                res = compare(f"fuzz_{i}", df, sql, sf_dir)
         except Exception as exc:  # engine-level error = also a finding
             errors.append({"i": i, "sql": sql, "err": f"{type(exc).__name__}: {exc}"})
             if len(errors) + len(failures) >= max_failures:
@@ -542,6 +646,7 @@ def run_campaign(
         "n": n,
         "seed": str(seed),
         "ok": ok,
+        "digest": digested,
         "fail": len(failures),
         "err": len(errors),
         "failures": failures,
@@ -558,6 +663,7 @@ def main() -> int:
     )
     ap.add_argument("--shapes", default=None, help="comma list: project,agg,join,window,setop")
     ap.add_argument("--emit", type=int, default=None, help="print query i and exit")
+    ap.add_argument("--row-cap", type=int, default=200_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
@@ -581,7 +687,7 @@ def main() -> int:
             app_name="fuzz-differential",
         )
     )
-    out = run_campaign(spark, args.sf_dir, args.n, args.seed, shapes)
+    out = run_campaign(spark, args.sf_dir, args.n, args.seed, shapes, row_cap=args.row_cap)
     print(json.dumps(out))
     return 1 if (out["fail"] or out["err"]) else 0
 

@@ -49,7 +49,18 @@ cross-engine gray zone):
   explicit ``NULLS FIRST``/``NULLS LAST`` always (engine defaults differ).
 - **Set ops**: UNION ALL / INTERSECT ALL / EXCEPT ALL (the DISTINCT
   variants agree too, but ALL exercises multiset semantics).
-- **Joins**: INNER/LEFT equi-joins along the schema's FK edges.
+- **Joins**: INNER/LEFT equi-joins along the schema's FK edges; semi/anti
+  via (NOT) EXISTS and (NOT) IN dim-key subqueries (keys are non-null, so
+  NOT IN's empty-on-NULL trap can't fire).
+- **Grouping sets**: ROLLUP over low-card keys, full-table only — grouping
+  sets over an EMPTY input are a real divergence this fuzzer found (Spark
+  returns no rows, DuckDB/PostgreSQL the grand-total row; pinned in
+  tests/test_tools.py).
+- **Composition**: re-aggregation over derived-table aggregates,
+  conditional aggregation (CASE-in-agg + FILTER clause), date_trunc
+  bucketing (outer CAST AS TIMESTAMP — DuckDB returns DATE at day+
+  granularity, Spark always TIMESTAMP), uncorrelated scalar subqueries,
+  ORDER BY + LIMIT with a corpus-verified total-order tail.
 
 Every query is derived from ``random.Random(f"{seed}:{i}")`` so any failure
 reproduces from (seed, index) alone:
@@ -569,6 +580,86 @@ def gen_scalar_sub(rng: random.Random, pools: dict) -> str:
     )
 
 
+def gen_cond_agg(rng: random.Random, pools: dict) -> str:
+    """Conditional aggregation: CASE-WHEN inside the aggregate and the
+    SQL:2003 FILTER clause (both engines support both spellings)."""
+    t = rng.choice(list(TABLES))
+    g = Gen(rng, t, pools)
+    key = rng.choice(g.t["lowcard"])
+    aggs = []
+    for i in range(rng.randrange(2, 4)):
+        p = g.pred(1)
+        style = rng.random()
+        if style < 0.4:
+            aggs.append(f"SUM(CASE WHEN {p} THEN {g.int_expr(1)} ELSE 0 END) AS a{i}")
+        elif style < 0.7:
+            aggs.append(f"COUNT(CASE WHEN {p} THEN 1 END) AS a{i}")
+        else:
+            fn = rng.choice(["COUNT(*)", f"MIN({g.int_expr(1)})", f"MAX({g.int_expr(1)})"])
+            aggs.append(f"{fn} FILTER (WHERE {p}) AS a{i}")
+    return f"SELECT {key} AS g0, {', '.join(aggs)} FROM {t} GROUP BY 1"
+
+
+def gen_two_level(rng: random.Random, pools: dict) -> str:
+    """Re-aggregation over a derived-table aggregate (partial-agg shape:
+    inner per-(k0,k1) rollup, outer collapse to k0).  Int-only aggregates so
+    the outer SUM-of-SUMs stays exact in both engines at any SF."""
+    t = rng.choice(list(TABLES))
+    g = Gen(rng, t, pools)
+    k0 = rng.choice(g.t["lowcard"])
+    k1_candidates = [c for c in g.t["int"] + g.t["str"] if c != k0]
+    k1 = rng.choice(k1_candidates)
+    where = f" WHERE {g.pred(1)}" if rng.random() < 0.5 else ""
+    inner = (
+        f"SELECT {k0} AS g0, {k1} AS g1, COUNT(*) AS n, "
+        f"SUM({g.int_expr(1)}) AS s FROM {t}{where} GROUP BY 1, 2"
+    )
+    outer_aggs = ["COUNT(*) AS n_groups", "SUM(n) AS n_rows"]
+    outer_aggs.append(rng.choice(["SUM(s) AS s_total", "MIN(s) AS s_min", "MAX(s) AS s_max"]))
+    return f"SELECT g0, {', '.join(outer_aggs)} FROM ({inner}) sub GROUP BY 1"
+
+
+def gen_date_bucket(rng: random.Random, pools: dict) -> str:
+    """Tumbling-window-style date_trunc bucketing.  The outer CAST AS
+    TIMESTAMP is load-bearing: DuckDB's date_trunc returns DATE for
+    day/month/year granularity while Spark always returns TIMESTAMP."""
+    candidates = [t for t in TABLES if TABLES[t]["ts"]]
+    t = rng.choice(candidates)
+    g = Gen(rng, t, pools)
+    c = rng.choice(g.t["ts"])
+    grain = rng.choice(["hour", "day", "month", "year"])
+    bucket = f"CAST(date_trunc('{grain}', CAST({c} AS TIMESTAMP)) AS TIMESTAMP)"
+    aggs = [g.agg_expr(f"a{i}") for i in range(rng.randrange(1, 3))]
+    where = f" WHERE {g.pred(1)}" if rng.random() < 0.5 else ""
+    extra = ""
+    if rng.random() < 0.4:
+        extra = f", {rng.choice(g.t['lowcard'])} AS g1"
+    return (
+        f"SELECT {bucket} AS w0{extra}, {', '.join(aggs)} FROM {t}{where} "
+        f"GROUP BY {'1, 2' if extra else '1'}"
+    )
+
+
+def gen_in_subquery(rng: random.Random, pools: dict) -> str:
+    """(NOT) IN against a filtered dim-key subquery along an FK edge.
+    Dim keys are non-null, so NOT IN's empty-on-NULL trap can't fire and
+    both engines agree on the standard semantics."""
+    fact, fk, dim, dk = rng.choice(JOIN_EDGES)
+    gf, gd = Gen(rng, fact, pools), Gen(rng, dim, pools)
+    neg = rng.choice(["IN", "NOT IN"])
+    sub = f"(SELECT {dk} FROM {dim} WHERE {gd.pred(1)})"
+    if rng.random() < 0.5:  # aggregate consumer
+        key = rng.choice(gf.t["lowcard"])
+        aggs = [gf.agg_expr(f"a{i}") for i in range(rng.randrange(1, 3))]
+        return (
+            f"SELECT {key} AS g0, {', '.join(aggs)} FROM {fact} "
+            f"WHERE {fk} {neg} {sub} GROUP BY 1"
+        )
+    cols = [f"{c} AS c{i}" for i, c in enumerate(gf.t["unique"])]
+    outer = f" AND {gf.pred(1)}" if rng.random() < 0.5 else ""
+    return f"SELECT {', '.join(cols)} FROM {fact} WHERE {fk} {neg} {sub}{outer}"
+
+
 SHAPES = {
     "project": gen_project,
     "agg": gen_agg,
@@ -579,6 +670,10 @@ SHAPES = {
     "rollup": gen_rollup,
     "orderlimit": gen_orderlimit,
     "scalar_sub": gen_scalar_sub,
+    "cond_agg": gen_cond_agg,
+    "two_level": gen_two_level,
+    "date_bucket": gen_date_bucket,
+    "in_subquery": gen_in_subquery,
 }
 
 
@@ -661,7 +756,10 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     )
-    ap.add_argument("--shapes", default=None, help="comma list: project,agg,join,window,setop")
+    ap.add_argument(
+        "--shapes", default=None,
+        help="comma list from: " + ",".join(SHAPES),
+    )
     ap.add_argument("--emit", type=int, default=None, help="print query i and exit")
     ap.add_argument("--row-cap", type=int, default=200_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))

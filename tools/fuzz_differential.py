@@ -541,9 +541,15 @@ def gen_rollup(rng: random.Random, pools: dict) -> str:
     k1_candidates = [c for c in g.t["lowcard"] + g.t["str"] if c != k0]
     k1 = rng.choice(k1_candidates)  # every table has >= 2 distinct candidates
     aggs = [g.agg_expr(f"a{i}") for i in range(rng.randrange(1, 3))]
+    op = rng.choice(["ROLLUP", "CUBE"])
+    gsel = ""
+    if rng.random() < 0.6:
+        # GROUPING() disambiguates data-NULLs from rolled-up NULLs, making
+        # the order-insensitive multiset compare strictly stronger.
+        gsel = f"GROUPING({k0}) AS gi0, GROUPING({k1}) AS gi1, "
     return (
-        f"SELECT {k0} AS g0, {k1} AS g1, {', '.join(aggs)} FROM {t} "
-        f"GROUP BY ROLLUP({k0}, {k1})"
+        f"SELECT {k0} AS g0, {k1} AS g1, {gsel}{', '.join(aggs)} FROM {t} "
+        f"GROUP BY {op}({k0}, {k1})"
     )
 
 
@@ -640,6 +646,44 @@ def gen_date_bucket(rng: random.Random, pools: dict) -> str:
     )
 
 
+def gen_frame_window(rng: random.Random, pools: dict) -> str:
+    """Frame aggregates and LAG/LEAD over a corpus-verified total order
+    (build_pools asserts the key), so every frame's contents — and thus
+    SUM/MIN/MAX/COUNT over it and any offset function — are deterministic.
+    ROWS frames only: RANGE frames over non-unique orderings are
+    well-defined but exercise nothing the total order doesn't."""
+    t = rng.choice(list(TABLES))
+    g = Gen(rng, t, pools)
+    part = rng.choice(g.t["lowcard"])
+    order = ", ".join(
+        f"{c} {rng.choice(['ASC', 'DESC'])}" for c in g.t["unique"]
+    )
+    over = f"OVER (PARTITION BY {part} ORDER BY {order}"
+    keys = [f"{c} AS k{i}" for i, c in enumerate(g.t["unique"])]
+    wins = []
+    for i in range(rng.randrange(1, 3)):
+        kind = rng.random()
+        if kind < 0.4:
+            fn = rng.choice(["LAG", "LEAD"])
+            off = rng.randrange(1, 4)
+            wins.append(f"{fn}({g.int_expr(1)}, {off}) {over}) AS w{i}")
+        elif kind < 0.8:
+            fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+            lo = rng.randrange(0, 5)
+            hi = rng.choice(["CURRENT ROW", f"{rng.randrange(1, 3)} FOLLOWING"])
+            wins.append(
+                f"{fn}({g.int_expr(1)}) {over} "
+                f"ROWS BETWEEN {lo} PRECEDING AND {hi}) AS w{i}"
+            )
+        else:
+            wins.append(
+                f"SUM({g.int_expr(1)}) {over} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w{i}"
+            )
+    where = f" WHERE {g.pred(1)}" if rng.random() < 0.4 else ""
+    return f"SELECT {', '.join(keys + wins)} FROM {t}{where}"
+
+
 def gen_in_subquery(rng: random.Random, pools: dict) -> str:
     """(NOT) IN against a filtered dim-key subquery along an FK edge.
     Dim keys are non-null, so NOT IN's empty-on-NULL trap can't fire and
@@ -674,6 +718,7 @@ SHAPES = {
     "two_level": gen_two_level,
     "date_bucket": gen_date_bucket,
     "in_subquery": gen_in_subquery,
+    "frame_window": gen_frame_window,
 }
 
 

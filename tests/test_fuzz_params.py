@@ -1,0 +1,46 @@
+"""Fixed-seed slice of the parameter fuzzer (tools/fuzz_params.py).
+
+The catalog referees each Tier-C operator at one fixed parameter point;
+this slice pins a deterministic batch of random-parameter calls against
+the parameter-templated DuckDB oracles, so a regression in parameter
+handling (gap arithmetic, percentile bounds, window-width alignment,
+salted-vs-window top-k arms) reproduces from the CLI:
+
+    python tools/fuzz_params.py --seed ci --emit <i>
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.fuzz_params import OPERATORS, gen_case, run_campaign
+
+SEED = "ci"
+
+
+def test_case_generator_is_deterministic():
+    a = [gen_case(SEED, i)[:2] for i in range(30)]
+    b = [gen_case(SEED, i)[:2] for i in range(30)]
+    assert a == b
+
+
+def test_every_operator_is_reachable():
+    seen = set()
+    for name in OPERATORS:
+        got, params, entry = gen_case(SEED, 0, ops=[name])
+        assert got == name and isinstance(params, dict)
+        sql = entry["oracle"](params)
+        assert sql.strip().upper().startswith(("SELECT", "WITH"))
+        seen.add(name)
+    assert seen == set(OPERATORS)
+
+
+def test_fixed_seed_batch_matches_duckdb(spark, sf_small):
+    out = run_campaign(spark, sf_small, n=18, seed=SEED)
+    assert out["fail"] == 0, out["failures"]
+    assert out["err"] == 0, out["errors"]
+    assert out["ok"] == 18
+    # the batch must exercise more than half the registry
+    assert len(out["per_op"]) >= len(OPERATORS) // 2 + 1, out["per_op"]

@@ -1,0 +1,403 @@
+"""Randomized-PARAMETER differential fuzzer for the Tier-C operator API.
+
+The catalog verifies each operator at ONE fixed parameter point (c9 at a
+30-minute gap, c82 at [p5, p95], c40 at k=3 ...).  The round-6 c82 bug —
+`was_clipped` flipping on values landing exactly on a percentile band
+edge — was a *parameter-boundary* bug: it existed at every (lo, hi) but
+only bit when data met the band edge.  This tool sweeps the parameter
+space: for each draw it calls the PUBLIC operator function with random
+parameters and compares the full result against a parameter-templated
+DuckDB oracle (the same oracle SQL the catalog pins, with the constants
+substituted).
+
+Beyond parameter coverage, the top-k entry randomizes the PHYSICAL
+strategy too: `n_salt` forces the salted-aggregation arm, so both plans
+(WindowGroupLimit window vs two-phase salted agg) are refereed against
+the single window-formulation oracle.
+
+Deterministic from (seed, index), mirroring tools/fuzz_differential.py:
+
+    python tools/fuzz_params.py --n 120 --seed 7
+    python tools/fuzz_params.py --seed 7 --emit 42   # show op+params 42
+
+Oracle templates are derived from (and cite) the catalog oracles in
+operators/events.py ORACLE / operators/analytics.py ORACLE; results are
+compared with tests/oracle.compare, falling back to the engine-side
+exact digest for results past --row-cap (small buckets in
+resample_ffill legitimately produce multi-million-row grids).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_engineering_zoomcamp_my_test_spark.functions.exprs import dmoney_sum, money
+from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+    top_k_per_group_agg,
+    winsorize,
+)
+from data_engineering_zoomcamp_my_test_spark.operators.events import (
+    mad_anomaly,
+    resample_ffill,
+    sessionize,
+)
+from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+_MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+# --- parameterized operator registry -----------------------------------------
+# Each entry: gen(rng) -> params dict; spark(spark, sf_dir, p) -> DataFrame;
+# oracle(p) -> DuckDB SQL string with the same output column names.
+
+
+def _sessionize_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    return sessionize(
+        load_table(spark, sf_dir, "events"), gap_minutes=p["gap_minutes"]
+    ).select(
+        "user_id", "session_seq", "session_start_us", "session_end_us",
+        "n_events", "total_value",
+    )
+
+
+def _sessionize_oracle(p: dict) -> str:
+    # template of operators/events.py ORACLE["c9_session"].  The gap is
+    # precomputed in Python: DuckDB evaluates `g * 60 * 1000000` in INT32
+    # and raises on overflow for any gap > 35 minutes (the catalog's fixed
+    # 30-minute literal fits with 16% headroom — a latent template hazard
+    # this fuzzer exposed on its first run).
+    gap_us = p["gap_minutes"] * 60 * 1_000_000
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                        > {gap_us}
+                      OR LAG(epoch_us(ts)) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM numbered GROUP BY user_id, session_seq
+    """
+
+
+def _winsorize_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    return winsorize(load_table(spark, sf_dir, "events"), lo=p["lo"], hi=p["hi"])
+
+
+def _winsorize_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c82_winsorize"]
+    return f"""
+        WITH bands AS (
+          SELECT event_type,
+                 quantile_cont(value, {p["lo"]!r}) AS plo,
+                 quantile_cont(value, {p["hi"]!r}) AS phi
+          FROM events GROUP BY 1
+        )
+        SELECT event_id, event_type, value,
+               ROUND(least(greatest(value, plo), phi), 6) AS value_winsorized,
+               (ROUND(value, 6) != ROUND(least(greatest(value, plo), phi), 6))
+                 AS was_clipped
+        FROM events JOIN bands USING (event_type)
+    """
+
+
+def _tumbling_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{p['width_minutes']} minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dmoney_sum(money("value"), "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def _tumbling_oracle(p: dict) -> str:
+    # integer bucket arithmetic instead of date_trunc so ANY width works:
+    # Spark's F.window aligns to the 1970 epoch, and so does floor-division
+    # of epoch microseconds by the window width.
+    w_us = p["width_minutes"] * 60 * 1_000_000
+    return f"""
+        SELECT CAST(epoch_us(ts) // {w_us} * {w_us} AS BIGINT) AS window_start_us,
+               event_type, COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def _topk_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    return top_k_per_group_agg(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey", "o_totalprice", "o_orderkey",
+        p["k"], n_salt=p["n_salt"],
+    )
+
+
+def _topk_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c40_topk_agg"] — the window
+    # formulation referees BOTH physical arms (n_salt=None -> window plan,
+    # n_salt=int -> salted two-phase agg).
+    return f"""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders
+        ) t WHERE rn <= {p["k"]}
+    """
+
+
+def _mad_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    return mad_anomaly(load_table(spark, sf_dir, "events"), threshold=p["threshold"])
+
+
+def _mad_oracle(p: dict) -> str:
+    # template of operators/events.py ORACLE["c77_mad_anomaly"]
+    return f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                   AS window_start_us,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(n_events, 0.5) AS med
+          FROM hourly GROUP BY 1
+        ),
+        dev AS (
+          SELECT h.*, m.med, abs(n_events - m.med) AS dev
+          FROM hourly h JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad,
+                 AVG(dev) AS meanad
+          FROM dev GROUP BY 1
+        ),
+        sc AS (
+          SELECT d.*, CASE WHEN mad > 0 THEN mad
+                           ELSE 1.253314 * meanad END AS scale
+          FROM dev d JOIN mad USING (event_type)
+        )
+        SELECT event_type, window_start_us, n_events,
+               ROUND(med, 6) AS med, ROUND(scale, 6) AS scale,
+               ROUND(dev / scale, 6) AS dev_over_scale
+        FROM sc
+        WHERE dev > {p["threshold"]!r} * scale
+    """
+
+
+def _resample_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    return resample_ffill(
+        load_table(spark, sf_dir, "events"), bucket_s=p["bucket_s"]
+    )
+
+
+def _resample_oracle(p: dict) -> str:
+    # template of operators/events.py ORACLE["c61_resample_ffill"]
+    return f"""
+        WITH obs AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // {p["bucket_s"]} AS b,
+                 MAX(value) AS v_obs
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM obs GROUP BY 1),
+        grid AS (
+          SELECT user_id, unnest(generate_series(mn, mx)) AS b FROM span
+        )
+        SELECT g.user_id,
+               CAST(g.b * {p["bucket_s"]} AS BIGINT) AS bucket_epoch_s,
+               last_value(o.v_obs IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               (o.v_obs IS NULL) AS is_gap
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+    """
+
+
+OPERATORS: dict[str, dict] = {
+    "sessionize": {
+        "gen": lambda rng: {
+            "gap_minutes": rng.choice([1, 2, 3, 5, 10, 15, 30, 45, 90, 240, 480]),
+        },
+        "spark": _sessionize_spark,
+        "oracle": _sessionize_oracle,
+    },
+    "winsorize": {
+        "gen": lambda rng: {
+            "lo": rng.choice([0.0, 0.01, 0.05, 0.1, 0.2, 0.25]),
+            "hi": rng.choice([0.75, 0.8, 0.9, 0.95, 0.99, 1.0]),
+        },
+        "spark": _winsorize_spark,
+        "oracle": _winsorize_oracle,
+    },
+    "tumbling": {
+        "gen": lambda rng: {
+            # deliberately includes non-divisors of the hour (7, 11, 90):
+            # both sides align to the 1970 epoch, not to hour boundaries
+            "width_minutes": rng.choice([1, 2, 5, 7, 10, 11, 15, 30, 60, 90, 120, 240]),
+        },
+        "spark": _tumbling_spark,
+        "oracle": _tumbling_oracle,
+    },
+    "topk": {
+        "gen": lambda rng: {
+            "k": rng.choice([1, 2, 3, 5, 10, 25]),
+            "n_salt": rng.choice([None, None, 4, 16]),  # both physical arms
+        },
+        "spark": _topk_spark,
+        "oracle": _topk_oracle,
+    },
+    "mad_anomaly": {
+        "gen": lambda rng: {
+            "threshold": rng.choice([0.5, 1.0, 2.0, 3.5, 5.0, 10.0]),
+        },
+        "spark": _mad_spark,
+        "oracle": _mad_oracle,
+    },
+    "resample_ffill": {
+        "gen": lambda rng: {
+            # floor at 15 min: the grid is keys x (span/bucket) rows, and
+            # the point is parameter semantics, not grid-size stress
+            "bucket_s": rng.choice([900, 1800, 3600, 7200, 21600, 86400]),
+        },
+        "spark": _resample_spark,
+        "oracle": _resample_oracle,
+    },
+}
+
+
+def gen_case(seed, i: int, ops: list[str] | None = None):
+    rng = random.Random(f"{seed}:{i}")
+    name = rng.choice(sorted(ops or OPERATORS))
+    entry = OPERATORS[name]
+    params = entry["gen"](rng)
+    return name, params, entry
+
+
+def run_campaign(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int,
+    seed,
+    ops: list[str] | None = None,
+    max_failures: int = 10,
+    row_cap: int = 200_000,
+) -> dict:
+    from tests.oracle import compare, compare_digest
+
+    ok = 0
+    digested = 0
+    failures: list[dict] = []
+    errors: list[dict] = []
+    per_op: dict[str, int] = {}
+    for i in range(n):
+        name, params, entry = gen_case(seed, i, ops)
+        label = f"{name}:{json.dumps(params, sort_keys=True)}"
+        try:
+            df = entry["spark"](spark, sf_dir, params)
+            sql = entry["oracle"](params)
+            if df.count() > row_cap:
+                res = compare_digest(f"pfuzz_{i}", df, sql, sf_dir)
+                digested += 1
+            else:
+                res = compare(f"pfuzz_{i}", df, sql, sf_dir)
+        except Exception as exc:
+            errors.append({"i": i, "case": label, "err": f"{type(exc).__name__}: {exc}"})
+            if len(errors) + len(failures) >= max_failures:
+                break
+            continue
+        if res.ok:
+            ok += 1
+            per_op[name] = per_op.get(name, 0) + 1
+        else:
+            failures.append({"i": i, "case": label, "mismatches": res.mismatches})
+            if len(errors) + len(failures) >= max_failures:
+                break
+    return {
+        "metric": "fuzz_params",
+        "sf_dir": sf_dir,
+        "n": n,
+        "seed": str(seed),
+        "ok": ok,
+        "digest": digested,
+        "per_op": per_op,
+        "fail": len(failures),
+        "err": len(errors),
+        "failures": failures,
+        "errors": errors,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--n", type=int, default=60)
+    ap.add_argument("--seed", default="0")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    ap.add_argument("--ops", default=None, help="comma list from: " + ",".join(OPERATORS))
+    ap.add_argument("--emit", type=int, default=None, help="print case i and exit")
+    ap.add_argument("--row-cap", type=int, default=200_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    ops = None
+    if args.ops:
+        ops = args.ops.split(",")
+        unknown = sorted(set(ops) - set(OPERATORS))
+        if unknown:
+            sys.exit(f"fuzz_params: unknown --ops {unknown}; known: {sorted(OPERATORS)}")
+
+    if args.emit is not None:
+        name, params, _ = gen_case(args.seed, args.emit, ops)
+        print(f"{name} {json.dumps(params)}")
+        return 0
+
+    from data_engineering_zoomcamp_my_test_spark.session import EngineConfig, get_spark
+
+    spark = get_spark(
+        EngineConfig(
+            master=f"local[{args.cpus}]",
+            shuffle_partitions=args.cpus,
+            app_name="fuzz-params",
+        )
+    )
+    out = run_campaign(
+        spark, args.sf_dir, args.n, args.seed, ops, row_cap=args.row_cap
+    )
+    print(json.dumps(out))
+    return 1 if (out["fail"] or out["err"]) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -575,7 +575,7 @@ ORACLE = {
         WITH flagged AS (
           SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                        > {SESSION_GAP_MINUTES} * 60 * 1000000
+                        > {SESSION_GAP_MINUTES * 60 * 1_000_000}
                       OR LAG(epoch_us(ts)) OVER w IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events
@@ -598,7 +598,7 @@ ORACLE = {
         WITH flagged AS (
           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                        > {SESSION_GAP_MINUTES} * 60 * 1000000
+                        > {SESSION_GAP_MINUTES * 60 * 1_000_000}
                       OR LAG(epoch_us(ts)) OVER w IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events
@@ -667,7 +667,7 @@ ORACLE = {
     "c78_streaming_session": f"""
         WITH flagged AS (
           SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
-                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30*60*1000000
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                       OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -680,7 +680,7 @@ ORACLE = {
         )
         SELECT user_id,
                MIN(ts_us) AS session_start_us,
-               MAX(ts_us) + 30*60*1000000 AS session_end_us,
+               MAX(ts_us) + 1800000000 AS session_end_us,
                COUNT(*) AS n_events,
                {_MONEY_SUM_VALUE} AS total_value
         FROM numbered GROUP BY user_id, seq

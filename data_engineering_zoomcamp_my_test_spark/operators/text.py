@@ -609,7 +609,20 @@ def chunk_windows(
     CPU-bound per row, so a corpus arriving in fewer files than cores is
     round-robin spread first (``_spread_for_cpu`` — a no-op whenever the
     scan already has enough splits, i.e. always at 100 TB; measured at
-    sf10's 2-file layout: 125s -> ~8s)."""
+    sf10's 2-file layout: 125s -> ~8s).
+
+    ``1 <= stride <= window`` is VALIDATED, not assumed: a stride past the
+    window both skips tokens (breaking the every-token-covered contract)
+    and can emit a zero-token tail chunk whose representation is
+    engine-dependent (Spark ``array_join(empty)`` = '', DuckDB
+    slice-past-end = NULL — found by tools/fuzz_params.py probing outside
+    the contract); inside the contract the final chunk is provably
+    nonempty, so neither hazard is reachable."""
+    if not (1 <= stride <= window):
+        raise ValueError(
+            f"chunk_windows requires 1 <= stride <= window for full token "
+            f"coverage; got window={window}, stride={stride}"
+        )
     from .dedup import _spread_for_cpu
 
     docs = _spread_for_cpu(docs)

@@ -44,3 +44,22 @@ def test_fixed_seed_batch_matches_duckdb(spark, sf_small):
     assert out["ok"] == 18
     # the batch must exercise more than half the registry
     assert len(out["per_op"]) >= len(OPERATORS) // 2 + 1, out["per_op"]
+
+
+def test_chunk_windows_validates_coverage_contract(spark, sf_small):
+    """stride outside [1, window] raises instead of silently skipping
+    tokens / emitting the zero-token tail chunk whose representation is
+    engine-dependent (found by probing outside the contract)."""
+    import pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.text import chunk_windows
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(docs, window=4, stride=6)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(docs, window=4, stride=0)
+    # boundary values are legal
+    assert chunk_windows(docs, window=4, stride=4).count() > 0
+    assert chunk_windows(docs, window=4, stride=1).count() > 0

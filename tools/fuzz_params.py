@@ -244,7 +244,135 @@ def _resample_oracle(p: dict) -> str:
     """
 
 
+def _chunk_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import chunk_windows
+
+    return chunk_windows(
+        load_table(spark, sf_dir, "documents"),
+        window=p["window"], stride=p["stride"],
+    )
+
+
+def _chunk_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c74_chunk_windows"]
+    w, st = p["window"], p["stride"]
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, toks,
+                 1 + CAST(ceil(greatest(n - {w}, 0) / {st}.0) AS BIGINT) AS k
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_id,
+               CAST((i - 1) * {st} AS INT) AS start_tok,
+               CAST(len(toks[(i-1)*{st} + 1 : (i-1)*{st} + {w}]) AS INT) AS n_tok,
+               array_to_string(
+                 toks[(i-1)*{st} + 1 : (i-1)*{st} + {w}], ' '
+               ) AS chunk_text
+        FROM k, UNNEST(generate_series(1, k)) AS u(i)
+    """
+
+
+def _attribution_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        batch_view_purchase_attribution,
+    )
+
+    out = batch_view_purchase_attribution(
+        load_table(spark, sf_dir, "events"),
+        attribution_window=f"{p['lookback_minutes']} minutes",
+    )
+    return out.select(
+        "p_user", "purchase_id", "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+def _attribution_oracle(p: dict) -> str:
+    # template of operators/events.py ORACLE["c72_attribution_join"]
+    return f"""
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id AS p_user, purchase_id, view_id,
+               CAST(epoch_us(view_ts) AS BIGINT) AS view_us,
+               CAST(epoch_us(purchase_ts) AS BIGINT) AS purchase_us
+        FROM v JOIN p ON v.user_id = p.user_id
+          AND purchase_ts >= view_ts
+          AND purchase_ts <= view_ts + INTERVAL '{p["lookback_minutes"]} minutes'
+    """
+
+
+def _rolling_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    width_us = p["width_s"] * 1_000_000
+    ts_us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(ts_us).rangeBetween(-width_us, 0)
+    return ev.select(
+        "event_id", "user_id", ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_events_w"),
+        F.sum(money("value")).over(w).cast("double").alias("value_w"),
+    )
+
+
+def _rolling_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c34_rolling_1h"]
+    width_us = p["width_s"] * 1_000_000
+    return f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               COUNT(*) OVER w AS n_events_w,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_w
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {width_us} PRECEDING AND CURRENT ROW)
+    """
+
+
+def _gen_chunk(rng: random.Random) -> dict:
+    window = rng.choice([4, 8, 16, 32, 64, 128])
+    # 1 <= stride <= window: the operator's validated coverage contract.
+    # Probing beyond it (first p3 campaign) found the zero-token tail
+    # chunk whose representation is engine-dependent — chunk_windows now
+    # rejects such strides outright (operators/text.py).
+    stride = rng.choice(
+        [1, max(1, window // 4), max(1, window // 2), max(1, window - 1), window]
+    )
+    return {"window": window, "stride": stride}
+
+
 OPERATORS: dict[str, dict] = {
+    "chunk_windows": {
+        "gen": _gen_chunk,
+        "spark": _chunk_spark,
+        "oracle": _chunk_oracle,
+    },
+    "attribution": {
+        "gen": lambda rng: {
+            "lookback_minutes": rng.choice([1, 5, 15, 30, 60, 240, 1440]),
+        },
+        "spark": _attribution_spark,
+        "oracle": _attribution_oracle,
+    },
+    "rolling": {
+        "gen": lambda rng: {
+            "width_s": rng.choice([60, 300, 900, 3600, 21600, 86400]),
+        },
+        "spark": _rolling_spark,
+        "oracle": _rolling_oracle,
+    },
     "sessionize": {
         "gen": lambda rng: {
             "gap_minutes": rng.choice([1, 2, 3, 5, 10, 15, 30, 45, 90, 240, 480]),

@@ -353,7 +353,117 @@ def _gen_chunk(rng: random.Random) -> dict:
     return {"window": window, "stride": stride}
 
 
+def _budget_mix_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import token_budget_mix
+
+    return token_budget_mix(
+        load_table(spark, sf_dir, "documents"), budget_tokens=p["budget_tokens"]
+    )
+
+
+def _budget_mix_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c49_token_budget_mix"]
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                 md5(text) AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, source, n_tok, cum_tokens
+        FROM c WHERE cum_tokens <= {p["budget_tokens"]}
+    """
+
+
+def _pack_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=p["seq_len"]
+    )
+
+
+def _pack_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c50_pack_sequences"]
+    s = p["seq_len"]
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                 md5(text) AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(CAST(n_tok AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tok AS start
+          FROM t
+        )
+        SELECT doc_id, source, n_tok,
+               CAST(floor(CAST(start AS DOUBLE) / {s}) AS BIGINT) AS seq_id,
+               CAST(start % {s} AS BIGINT) AS seq_offset
+        FROM c
+    """
+
+
+def _strat_sample_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        stratified_sample_exact,
+    )
+
+    return stratified_sample_exact(
+        load_table(spark, sf_dir, "documents"), "source", p["fraction"]
+    ).select("doc_id", "source")
+
+
+def _strat_sample_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c73_stratified_sample_exact"].
+    # ceil(n * frac) evaluates in IEEE doubles on BOTH sides, so whatever
+    # the FP product is, the row count agrees.
+    return f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        ) WHERE rn <= CEIL(n * {p["fraction"]!r})
+    """
+
+
 OPERATORS: dict[str, dict] = {
+    "token_budget_mix": {
+        "gen": lambda rng: {
+            "budget_tokens": rng.choice([1, 50, 200, 500, 2000, 10_000, 10_000_000]),
+        },
+        "spark": _budget_mix_spark,
+        "oracle": _budget_mix_oracle,
+    },
+    "pack_sequences": {
+        "gen": lambda rng: {
+            "seq_len": rng.choice([1, 16, 64, 128, 512, 4096]),
+        },
+        "spark": _pack_spark,
+        "oracle": _pack_oracle,
+    },
+    "stratified_sample": {
+        "gen": lambda rng: {
+            "fraction": rng.choice([0.01, 0.1, 0.25, 0.33, 0.5, 0.9, 1.0]),
+        },
+        "spark": _strat_sample_spark,
+        "oracle": _strat_sample_oracle,
+    },
     "chunk_windows": {
         "gen": _gen_chunk,
         "spark": _chunk_spark,

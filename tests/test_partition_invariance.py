@@ -1,0 +1,67 @@
+"""Partitioning-invariance: the determinism claim, tested directly.
+
+README ("Correctness model") claims results are bit-identical across
+partitionings — the property that makes answers reproducible when the
+same query moves from local[8] to a 1000-executor cluster. The oracle
+suite can't see a violation that happens to match DuckDB under ONE
+layout; this test re-runs representative decls under radically different
+physical layouts (scan-split size and shuffle fan-out both changed by
+~2 orders of magnitude) and asserts the exact row multiset is unchanged.
+
+Decls are chosen for accumulation risk — the places where a naive plan
+is order-dependent:
+  b3   decimal-accumulated money sums (grouped agg)
+  c41  weighted average (decimal sums then double division)
+  c9   lag-gap cumsum sessionization (window over shuffled input)
+  c34  RANGE-frame rolling money sums
+  c82  interpolated percentiles + band clip
+  c49  content-hash-order cumulative token budget
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
+         "c34_rolling_1h", "c82_winsorize", "c49_token_budget_mix"]
+
+# (files.maxPartitionBytes, shuffle.partitions): one coarse layout (every
+# table a single split, single reducer) and one absurdly fine one (64 KiB
+# splits, prime reducer count) — accumulation order differs maximally.
+LAYOUTS = [("134217728", "1"), ("65536", "37")]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("decl", DECLS)
+def test_result_invariant_under_physical_layout(spark, sf_small, decl):
+    q = all_queries()[decl]
+    conf = spark.conf
+    saved = {
+        "spark.sql.files.maxPartitionBytes": conf.get(
+            "spark.sql.files.maxPartitionBytes"
+        ),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    results = []
+    try:
+        # AQE off so shuffle.partitions is actually honored verbatim and
+        # the two layouts really execute with different fan-outs.
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for mpb, sp in LAYOUTS:
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            conf.set("spark.sql.shuffle.partitions", sp)
+            results.append(_rows(q(spark, sf_small)))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    assert results[0] == results[1], (
+        f"{decl}: result depends on physical layout "
+        f"({len(results[0])} vs {len(results[1])} rows or value drift)"
+    )
+    assert len(results[0]) > 0

@@ -150,6 +150,14 @@ def c37_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # df over toks, NOT over tf — measured, not assumed (r7 A/B at sf1,
+    # 4 runs): deriving df as tf.groupBy(tok).count() looks like it saves
+    # an explode, but Spark does not reuse the (doc_id, tok) exchange
+    # across the join's two subtrees, so that form pays an extra
+    # corpus-sized pair shuffle keyed tok and ran 1.5x SLOWER at sf1
+    # (4.4s vs 2.9s; equal within noise at sf0.1). This form's second
+    # explode partial-aggregates map-side before its single tok-keyed
+    # shuffle — the explode is cheap CPU, the avoided shuffle is not.
     df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(df_, "tok")

@@ -145,6 +145,24 @@ TABLES: dict[str, dict[str, list[str]]] = {
         "unique": ["doc_id"],
         "lowcard": ["lang", "source"],
     },
+    "nation": {
+        "int": ["n_nationkey", "n_regionkey"],
+        "money": [],
+        "str": ["n_name"],
+        "ts": [],
+        "unique": ["n_nationkey"],
+        "lowcard": ["n_regionkey"],
+    },
+    "region": {
+        "int": ["r_regionkey"],
+        "money": [],
+        "str": ["r_name"],
+        "ts": [],
+        "unique": ["r_regionkey"],
+        # r_regionkey included so grouping shapes keep their two-distinct-
+        # key invariant on this 2-column table (5 rows — "low card" holds)
+        "lowcard": ["r_regionkey", "r_name"],
+    },
 }
 
 # FK edges: (fact, fact_key, dim, dim_key).  Dim side is unique on dim_key,
@@ -154,6 +172,14 @@ JOIN_EDGES: list[tuple[str, str, str, str]] = [
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+# Two-hop FK chains (fact -> dim1 -> dim2), derived so new edges extend them.
+JOIN_CHAINS: list[tuple[tuple, tuple]] = [
+    (e1, e2) for e1 in JOIN_EDGES for e2 in JOIN_EDGES if e2[0] == e1[2]
 ]
 
 
@@ -586,6 +612,33 @@ def gen_scalar_sub(rng: random.Random, pools: dict) -> str:
     )
 
 
+def gen_join_chain(rng: random.Random, pools: dict) -> str:
+    """Two-hop FK chain (fact -> dim1 -> dim2) — the join-reordering
+    surface single-edge gen_join never exercises.  Both hops land on
+    unique dim keys, so row multiplicity is the fact's."""
+    e1, e2 = rng.choice(JOIN_CHAINS)
+    fact, fk1, dim1, dk1 = e1
+    _, fk2, dim2, dk2 = e2
+    gf, g2 = Gen(rng, fact, pools), Gen(rng, dim2, pools)
+    base = (
+        f"FROM {fact} "
+        f"JOIN {dim1} ON {fact}.{fk1} = {dim1}.{dk1} "
+        f"JOIN {dim2} ON {dim1}.{fk2} = {dim2}.{dk2} "
+        f"WHERE {gf.pred(1)}"
+    )
+    if rng.random() < 0.6:  # aggregate consumer grouped by the far dim
+        key = rng.choice(g2.t["lowcard"] + g2.t["str"])
+        aggs = [gf.agg_expr(f"a{i}") for i in range(rng.randrange(1, 3))]
+        extra = f" AND {g2.pred(1)}" if rng.random() < 0.4 else ""
+        return (
+            f"SELECT {dim2}.{key} AS g0, {', '.join(aggs)} {base}{extra} "
+            f"GROUP BY 1"
+        )
+    cols = [f"{fact}.{c} AS c{i}" for i, c in enumerate(gf.t["unique"])]
+    cols.append(f"{dim2}.{rng.choice(g2.t['str'] + g2.t['int'])} AS d0")
+    return f"SELECT {', '.join(cols)} {base}"
+
+
 def gen_cond_agg(rng: random.Random, pools: dict) -> str:
     """Conditional aggregation: CASE-WHEN inside the aggregate and the
     SQL:2003 FILTER clause (both engines support both spellings)."""
@@ -719,6 +772,7 @@ SHAPES = {
     "date_bucket": gen_date_bucket,
     "in_subquery": gen_in_subquery,
     "frame_window": gen_frame_window,
+    "join_chain": gen_join_chain,
 }
 
 

@@ -49,6 +49,7 @@ def test_result_invariant_under_physical_layout(spark, sf_small, decl):
         "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
     }
     results = []
+    fanouts = []
     try:
         # AQE off so shuffle.partitions is actually honored verbatim and
         # the two layouts really execute with different fan-outs.
@@ -56,10 +57,22 @@ def test_result_invariant_under_physical_layout(spark, sf_small, decl):
         for mpb, sp in LAYOUTS:
             conf.set("spark.sql.files.maxPartitionBytes", mpb)
             conf.set("spark.sql.shuffle.partitions", sp)
-            results.append(_rows(q(spark, sf_small)))
+            df = q(spark, sf_small)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            fanouts.append(f"hashpartitioning" in plan and f", {sp})" in plan)
+            results.append(_rows(df))
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+    # vacuousness guard: each layout's plan must carry at least one hash
+    # exchange at ITS configured fan-out — otherwise the two runs did not
+    # actually shuffle differently and the invariance check proves nothing
+    # (the final stage's getNumPartitions() is no proxy: sorts/final aggs
+    # normalize it identically under both layouts).
+    assert all(fanouts), (
+        f"{decl}: a layout's plan shows no hash exchange at its configured "
+        f"fan-out {LAYOUTS} — the invariance check is vacuous"
+    )
     assert results[0] == results[1], (
         f"{decl}: result depends on physical layout "
         f"({len(results[0])} vs {len(results[1])} rows or value drift)"

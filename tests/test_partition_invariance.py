@@ -25,7 +25,12 @@ import pytest
 from data_engineering_zoomcamp_my_test_spark.operators import all_queries
 
 DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
-         "c34_rolling_1h", "c82_winsorize", "c49_token_budget_mix"]
+         "c34_rolling_1h", "c82_winsorize", "c49_token_budget_mix",
+         # b13: grouping sets over decimal sums; c37: min_by argmax with
+         # tie-break struct; c61: IGNORE-NULLS forward fill over a grid
+         # join; c23: as-of union-merge ordering
+         "b13_rollup", "c37_tfidf_top_term", "c61_resample_ffill",
+         "c23_asof_join"]
 
 # (files.maxPartitionBytes, shuffle.partitions): one coarse layout (every
 # table a single split, single reducer) and one absurdly fine one (64 KiB
@@ -34,7 +39,9 @@ LAYOUTS = [("134217728", "1"), ("65536", "37")]
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # sort key is repr: grouping-set NULLs and nullable fill columns make
+    # plain tuple comparison raise (same convention as tests/oracle.py)
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 @pytest.mark.parametrize("decl", DECLS)
@@ -59,7 +66,12 @@ def test_result_invariant_under_physical_layout(spark, sf_small, decl):
             conf.set("spark.sql.shuffle.partitions", sp)
             df = q(spark, sf_small)
             plan = df._jdf.queryExecution().executedPlan().toString()
-            fanouts.append(f"hashpartitioning" in plan and f", {sp})" in plan)
+            # fan-out 1 prints as "Exchange SinglePartition", not as
+            # "hashpartitioning(..., 1)"
+            fanouts.append(
+                ("hashpartitioning" in plan and f", {sp})" in plan)
+                or (sp == "1" and "Exchange SinglePartition" in plan)
+            )
             results.append(_rows(df))
     finally:
         for k, v in saved.items():

@@ -442,7 +442,45 @@ def _strat_sample_oracle(p: dict) -> str:
     """
 
 
+def _asof_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        asof_join_last_event,
+    )
+
+    return asof_join_last_event(
+        load_table(spark, sf_dir, "events"), match_type=p["match_type"]
+    )
+
+
+def _asof_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c23_asof_join"].  Output
+    # column names stay last_purchase_* by the operator's contract
+    # regardless of match_type.
+    mt = p["match_type"]
+    return f"""
+        SELECT event_id, user_id, event_type,
+               last_value(CASE WHEN event_type = '{mt}' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_purchase_id,
+               last_value(CASE WHEN event_type = '{mt}' THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER w AS last_purchase_ts_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+
+
 OPERATORS: dict[str, dict] = {
+    "asof_last_event": {
+        "gen": lambda rng: {
+            # the corpus's event_type domain + one absent type (every
+            # marker NULL — the all-NULL IGNORE NULLS edge)
+            "match_type": rng.choice(
+                ["click", "error", "purchase", "signup", "view", "absent_type"]
+            ),
+        },
+        "spark": _asof_spark,
+        "oracle": _asof_oracle,
+    },
     "token_budget_mix": {
         "gen": lambda rng: {
             "budget_tokens": rng.choice([1, 50, 200, 500, 2000, 10_000, 10_000_000]),

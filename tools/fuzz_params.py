@@ -469,7 +469,66 @@ def _asof_oracle(p: dict) -> str:
     """
 
 
+def _histogram_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / p["width"]).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dmoney_sum(money("value"), "bucket_sum"),
+    )
+
+
+def _histogram_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c25_histogram"]; the
+    # bucket division runs in IEEE doubles on both sides
+    return f"""
+        SELECT CAST(FLOOR(value / {p["width"]}) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               {_MONEY_SUM_VALUE} AS bucket_sum
+        FROM events GROUP BY 1
+    """
+
+
+def _percentiles_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = p["lo"], p["hi"]
+    return ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {lo!r})").alias("p_lo"),
+        F.expr(f"percentile(value, {hi!r})").alias("p_hi"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+def _percentiles_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c24_percentiles"]
+    return f"""
+        SELECT event_type,
+               quantile_cont(value, {p["lo"]!r}) AS p_lo,
+               quantile_cont(value, {p["hi"]!r}) AS p_hi,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max
+        FROM events GROUP BY event_type
+    """
+
+
 OPERATORS: dict[str, dict] = {
+    "histogram": {
+        "gen": lambda rng: {
+            # non-round widths stress the floor-of-division boundary
+            "width": rng.choice([1, 3, 7, 25, 50, 33.5, 100, 250]),
+        },
+        "spark": _histogram_spark,
+        "oracle": _histogram_oracle,
+    },
+    "percentiles": {
+        "gen": lambda rng: {
+            "lo": rng.choice([0.0, 0.01, 0.1, 0.25, 0.5]),
+            "hi": rng.choice([0.5, 0.75, 0.9, 0.99, 1.0]),
+        },
+        "spark": _percentiles_spark,
+        "oracle": _percentiles_oracle,
+    },
     "asof_last_event": {
         "gen": lambda rng: {
             # the corpus's event_type domain + one absent type (every

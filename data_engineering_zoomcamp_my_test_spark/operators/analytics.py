@@ -73,13 +73,21 @@ def c9b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group. At 100 TB swap
     ``percentile`` for ``percentile_approx`` (t-digest, mergeable) — kept
-    exact here because the oracle checks values."""
+    exact here because the oracle checks values.
+
+    Interpolated points are published at the repo's 6-decimal output
+    grain (r7, same contract as c82's winsor bands): the raw interpolated
+    value is NOT bit-portable across engines — the parameter fuzzer
+    measured a one-ulp Spark-vs-DuckDB split at p99 over 1M rows
+    (230.53 vs 230.53000000000003), the same interpolation-formula ulp
+    class the r6 c82 bug belonged to. v_min/v_max stay raw — no
+    interpolation, exact in both engines."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
             F.min("value").alias("v_min"),
             F.max("value").alias("v_max"),
         )
@@ -775,8 +783,8 @@ ORACLE = {
     """,
     "c24_percentiles": """
         SELECT event_type,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.95) AS p95,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
                MIN(value) AS v_min,
                MAX(value) AS v_max
         FROM events GROUP BY event_type ORDER BY event_type

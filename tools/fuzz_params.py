@@ -492,9 +492,15 @@ def _histogram_oracle(p: dict) -> str:
 def _percentiles_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     lo, hi = p["lo"], p["hi"]
+    # ROUND(.., 6) on interpolated points is the published contract, not
+    # comparison slack: this fuzzer's first sf1 campaign (seed p11)
+    # measured a one-ulp Spark-vs-DuckDB split in the RAW interpolation
+    # at p99 over 1M rows (230.53 vs 230.53000000000003) — the same ulp
+    # class as the r6 c82 band-edge bug.  c24 now publishes the same
+    # grain (operators/analytics.py).
     return ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {lo!r})").alias("p_lo"),
-        F.expr(f"percentile(value, {hi!r})").alias("p_hi"),
+        F.round(F.expr(f"percentile(value, {lo!r})"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(value, {hi!r})"), 6).alias("p_hi"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
@@ -504,8 +510,8 @@ def _percentiles_oracle(p: dict) -> str:
     # template of operators/analytics.py ORACLE["c24_percentiles"]
     return f"""
         SELECT event_type,
-               quantile_cont(value, {p["lo"]!r}) AS p_lo,
-               quantile_cont(value, {p["hi"]!r}) AS p_hi,
+               ROUND(quantile_cont(value, {p["lo"]!r}), 6) AS p_lo,
+               ROUND(quantile_cont(value, {p["hi"]!r}), 6) AS p_hi,
                MIN(value) AS v_min,
                MAX(value) AS v_max
         FROM events GROUP BY event_type

@@ -81,7 +81,19 @@ def c24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured a one-ulp Spark-vs-DuckDB split at p99 over 1M rows
     (230.53 vs 230.53000000000003), the same interpolation-formula ulp
     class the r6 c82 bug belonged to. v_min/v_max stay raw — no
-    interpolation, exact in both engines."""
+    interpolation, exact in both engines.
+
+    Why ROUND(., 6) itself is portable here even though round() sits in
+    the fuzzer dialect's gray zone (exact .5e-6 ties DO diverge —
+    measured: round(1.0000025, 6) is 1.000003 on Spark, 1.000002 on
+    DuckDB): ties are unreachable for this operator's inputs. Money-grain
+    (2-decimal) values interpolated at frac = k*0.05 have true values on
+    a 5e-4 grid, 5e-7 from the nearest .5e-6 tie, while the computed
+    double is within ~1e-8 of the grid point — both engines always see a
+    value strictly on the same side of every tie, where HALF_UP and
+    HALF_EVEN agree. Pinned with planted ties and perturbed grid values
+    in tests/test_tools.py::
+    test_round_tie_divergence_pinned_and_money_grain_safe."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

@@ -11,11 +11,12 @@ failing (seed, index) that reproduces from the CLI:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.fuzz_differential import SHAPES, build_pools, gen_query, run_campaign
 

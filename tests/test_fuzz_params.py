@@ -11,9 +11,10 @@ salted-vs-window top-k arms) reproduces from the CLI:
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.fuzz_params import OPERATORS, gen_case, run_campaign
 

@@ -80,6 +80,8 @@ import os
 import random
 import sys
 
+from pyspark import StorageLevel
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # --- schema metadata ---------------------------------------------------------
@@ -181,6 +183,53 @@ JOIN_EDGES: list[tuple[str, str, str, str]] = [
 JOIN_CHAINS: list[tuple[tuple, tuple]] = [
     (e1, e2) for e1 in JOIN_EDGES for e2 in JOIN_EDGES if e2[0] == e1[2]
 ]
+
+
+# --- partial-corpus guards ---------------------------------------------------
+# build_pools silently skips tables whose parquet is absent from sf_dir (a
+# partial corpus, e.g. an sf100 subset).  Shape generators must then draw
+# only from what is actually registered — otherwise campaigns report
+# spurious engine errors for missing views.  All helpers preserve TABLES /
+# JOIN_EDGES order, so on a FULL corpus the filtered list is identical to
+# the unfiltered one and every seed:index draws the exact same query as
+# before partial-corpus support existed.
+
+
+def _tables(pools: dict) -> list[str]:
+    present = [t for t in TABLES if t in pools]
+    if not present:
+        raise ValueError("no fuzzable tables present in pools — wrong --sf-dir?")
+    return present
+
+
+def _sample_two(rng: random.Random, pools: dict) -> list[str]:
+    present = _tables(pools)
+    if len(present) < 2:
+        raise ValueError(f"setop shape needs >= 2 tables; corpus has only {present}")
+    return rng.sample(present, 2)
+
+
+def _edge(rng: random.Random, pools: dict) -> tuple:
+    edges = [e for e in JOIN_EDGES if e[0] in pools and e[2] in pools]
+    if not edges:
+        raise ValueError(
+            "no JOIN_EDGES with both endpoints in this corpus — "
+            "join shapes ungeneratable; pass --shapes to exclude them"
+        )
+    return rng.choice(edges)
+
+
+def _chain(rng: random.Random, pools: dict) -> tuple:
+    chains = [
+        c for c in JOIN_CHAINS
+        if c[0][0] in pools and c[0][2] in pools and c[1][2] in pools
+    ]
+    if not chains:
+        raise ValueError(
+            "no complete JOIN_CHAINS in this corpus — "
+            "join_chain shape ungeneratable; pass --shapes to exclude it"
+        )
+    return rng.choice(chains)
 
 
 def _sql_str(v: str) -> str:
@@ -440,14 +489,14 @@ def _select_exprs(g: Gen, n: int) -> list[str]:
     return out
 
 def gen_project(rng: random.Random, pools: dict) -> str:
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     exprs = _select_exprs(g, rng.randrange(2, 5))
     return f"SELECT {', '.join(exprs)} FROM {t} WHERE {g.pred()}"
 
 
 def gen_agg(rng: random.Random, pools: dict) -> str:
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     nk = rng.randrange(1, 3)
     keys = []
@@ -473,7 +522,7 @@ def gen_agg(rng: random.Random, pools: dict) -> str:
 
 
 def gen_join(rng: random.Random, pools: dict) -> str:
-    fact, fk, dim, dk = rng.choice(JOIN_EDGES)
+    fact, fk, dim, dk = _edge(rng, pools)
     gf, gd = Gen(rng, fact, pools), Gen(rng, dim, pools)
     jt = rng.choice(["JOIN", "LEFT JOIN"])
     dim_filter = f" AND {gd.pred(1)}" if jt == "JOIN" and rng.random() < 0.5 else ""
@@ -494,7 +543,7 @@ def gen_join(rng: random.Random, pools: dict) -> str:
 
 
 def gen_window(rng: random.Random, pools: dict) -> str:
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     part = rng.choice(g.t["lowcard"])
     uniq = ", ".join(
@@ -521,7 +570,7 @@ def gen_window(rng: random.Random, pools: dict) -> str:
 
 
 def gen_setop(rng: random.Random, pools: dict) -> str:
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     n = rng.randrange(1, 3)
     exprs = _select_exprs(g, n)
@@ -535,7 +584,7 @@ def gen_setop(rng: random.Random, pools: dict) -> str:
 
 def gen_exists(rng: random.Random, pools: dict) -> str:
     """Semi/anti join via (NOT) EXISTS along an FK edge, dim side out."""
-    fact, fk, dim, dk = rng.choice(JOIN_EDGES)
+    fact, fk, dim, dk = _edge(rng, pools)
     gf, gd = Gen(rng, fact, pools), Gen(rng, dim, pools)
     neg = rng.choice(["EXISTS", "NOT EXISTS"])
     cols = [f"{c} AS c{i}" for i, c in enumerate(gd.t["unique"])]
@@ -561,7 +610,7 @@ def gen_rollup(rng: random.Random, pools: dict) -> str:
     grand-total row with COUNT=0/NULL aggregates.  A random predicate can
     empty the input, so predicates are excluded from this shape; the
     divergence itself is pinned in tests/test_tools.py."""
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     k0 = rng.choice(g.t["lowcard"])
     k1_candidates = [c for c in g.t["lowcard"] + g.t["str"] if c != k0]
@@ -582,7 +631,7 @@ def gen_rollup(rng: random.Random, pools: dict) -> str:
 def gen_orderlimit(rng: random.Random, pools: dict) -> str:
     """Top-k with a provably total order: any expr prefix, unique-key tail
     (explicit NULLS placement — engine defaults differ)."""
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     exprs = _select_exprs(g, rng.randrange(1, 3))
     keys = [f"{c} AS k{i}" for i, c in enumerate(g.t["unique"])]
@@ -600,7 +649,7 @@ def gen_orderlimit(rng: random.Random, pools: dict) -> str:
 
 def gen_scalar_sub(rng: random.Random, pools: dict) -> str:
     """Uncorrelated scalar subquery in the WHERE clause."""
-    t, t2 = rng.sample(list(TABLES), 2)
+    t, t2 = _sample_two(rng, pools)
     g, g2 = Gen(rng, t, pools), Gen(rng, t2, pools)
     op = rng.choice(["<", "<=", ">", ">=", "<>"])
     fn = rng.choice(["MIN", "MAX"])
@@ -616,7 +665,7 @@ def gen_join_chain(rng: random.Random, pools: dict) -> str:
     """Two-hop FK chain (fact -> dim1 -> dim2) — the join-reordering
     surface single-edge gen_join never exercises.  Both hops land on
     unique dim keys, so row multiplicity is the fact's."""
-    e1, e2 = rng.choice(JOIN_CHAINS)
+    e1, e2 = _chain(rng, pools)
     fact, fk1, dim1, dk1 = e1
     _, fk2, dim2, dk2 = e2
     gf, g2 = Gen(rng, fact, pools), Gen(rng, dim2, pools)
@@ -642,7 +691,7 @@ def gen_join_chain(rng: random.Random, pools: dict) -> str:
 def gen_cond_agg(rng: random.Random, pools: dict) -> str:
     """Conditional aggregation: CASE-WHEN inside the aggregate and the
     SQL:2003 FILTER clause (both engines support both spellings)."""
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     key = rng.choice(g.t["lowcard"])
     aggs = []
@@ -663,7 +712,7 @@ def gen_two_level(rng: random.Random, pools: dict) -> str:
     """Re-aggregation over a derived-table aggregate (partial-agg shape:
     inner per-(k0,k1) rollup, outer collapse to k0).  Int-only aggregates so
     the outer SUM-of-SUMs stays exact in both engines at any SF."""
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     k0 = rng.choice(g.t["lowcard"])
     k1_candidates = [c for c in g.t["int"] + g.t["str"] if c != k0]
@@ -682,7 +731,12 @@ def gen_date_bucket(rng: random.Random, pools: dict) -> str:
     """Tumbling-window-style date_trunc bucketing.  The outer CAST AS
     TIMESTAMP is load-bearing: DuckDB's date_trunc returns DATE for
     day/month/year granularity while Spark always returns TIMESTAMP."""
-    candidates = [t for t in TABLES if TABLES[t]["ts"]]
+    candidates = [t for t in _tables(pools) if TABLES[t]["ts"]]
+    if not candidates:
+        raise ValueError(
+            "no timestamp-bearing tables in this corpus — "
+            "date_bucket shape ungeneratable; pass --shapes to exclude it"
+        )
     t = rng.choice(candidates)
     g = Gen(rng, t, pools)
     c = rng.choice(g.t["ts"])
@@ -705,7 +759,7 @@ def gen_frame_window(rng: random.Random, pools: dict) -> str:
     SUM/MIN/MAX/COUNT over it and any offset function — are deterministic.
     ROWS frames only: RANGE frames over non-unique orderings are
     well-defined but exercise nothing the total order doesn't."""
-    t = rng.choice(list(TABLES))
+    t = rng.choice(_tables(pools))
     g = Gen(rng, t, pools)
     part = rng.choice(g.t["lowcard"])
     order = ", ".join(
@@ -741,7 +795,7 @@ def gen_in_subquery(rng: random.Random, pools: dict) -> str:
     """(NOT) IN against a filtered dim-key subquery along an FK edge.
     Dim keys are non-null, so NOT IN's empty-on-NULL trap can't fire and
     both engines agree on the standard semantics."""
-    fact, fk, dim, dk = rng.choice(JOIN_EDGES)
+    fact, fk, dim, dk = _edge(rng, pools)
     gf, gd = Gen(rng, fact, pools), Gen(rng, dim, pools)
     neg = rng.choice(["IN", "NOT IN"])
     sub = f"(SELECT {dk} FROM {dim} WHERE {gd.pred(1)})"
@@ -817,12 +871,20 @@ def run_campaign(
     for i in range(n):
         sql = gen_query(seed, i, pools, shapes)
         try:
-            df = spark.sql(sql)
-            if df.count() > row_cap:
-                res = compare_digest(f"fuzz_{i}", df, sql, sf_dir)
-                digested += 1
-            else:
-                res = compare(f"fuzz_{i}", df, sql, sf_dir)
+            # Persist before the path-choosing count: the digest-vs-row
+            # decision needs the cardinality, and without the cache the
+            # compare would execute the whole query a second time —
+            # doubling campaign cost at sf1+ (MEMORY_AND_DISK so a big
+            # result spills instead of evicting mid-compare).
+            df = spark.sql(sql).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                if df.count() > row_cap:
+                    res = compare_digest(f"fuzz_{i}", df, sql, sf_dir)
+                    digested += 1
+                else:
+                    res = compare(f"fuzz_{i}", df, sql, sf_dir)
+            finally:
+                df.unpersist()
         except Exception as exc:  # engine-level error = also a finding
             errors.append({"i": i, "sql": sql, "err": f"{type(exc).__name__}: {exc}"})
             if len(errors) + len(failures) >= max_failures:

@@ -35,6 +35,8 @@ import os
 import random
 import sys
 
+from pyspark import StorageLevel
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -665,13 +667,20 @@ def run_campaign(
         name, params, entry = gen_case(seed, i, ops)
         label = f"{name}:{json.dumps(params, sort_keys=True)}"
         try:
-            df = entry["spark"](spark, sf_dir, params)
+            # Persist before the path-choosing count so the compare's own
+            # execution reuses the cached result instead of re-running the
+            # whole plan (halves campaign cost at sf1+; MEMORY_AND_DISK so
+            # big results spill rather than evict mid-compare).
+            df = entry["spark"](spark, sf_dir, params).persist(StorageLevel.MEMORY_AND_DISK)
             sql = entry["oracle"](params)
-            if df.count() > row_cap:
-                res = compare_digest(f"pfuzz_{i}", df, sql, sf_dir)
-                digested += 1
-            else:
-                res = compare(f"pfuzz_{i}", df, sql, sf_dir)
+            try:
+                if df.count() > row_cap:
+                    res = compare_digest(f"pfuzz_{i}", df, sql, sf_dir)
+                    digested += 1
+                else:
+                    res = compare(f"pfuzz_{i}", df, sql, sf_dir)
+            finally:
+                df.unpersist()
         except Exception as exc:
             errors.append({"i": i, "case": label, "err": f"{type(exc).__name__}: {exc}"})
             if len(errors) + len(failures) >= max_failures:

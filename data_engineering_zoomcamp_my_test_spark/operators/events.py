@@ -393,7 +393,14 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned. Because the final state of a complete-mode windowed agg
     over a replayed bounded source must equal the batch answer, this
     decl puts the streaming execution path itself under the exact DuckDB
-    oracle (c7's SQL) — not just under the repo's own parity tests."""
+    oracle (c7's SQL) — not just under the repo's own parity tests.
+
+    maxFilesPerTrigger=1 over 4 hash-sliced drops makes the replay a
+    genuine FOUR-micro-batch run (r8; previously 4 files in one trigger
+    — a single batch, which exercised no cross-batch state merge at
+    all). Time-window complete-mode aggregation is exact under ANY
+    slicing/arrival-order/watermark combination — fuzzed over 30+ random
+    draws incl. reverse-time arrival in tools/fuzz_streaming.py."""
     import shutil
     import tempfile
     import uuid
@@ -405,7 +412,10 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_tumbling_agg(
-            spark, drop_dir, query_name=f"c66_out_{uuid.uuid4().hex[:8]}"
+            spark,
+            drop_dir,
+            query_name=f"c66_out_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
         )
     finally:
         # The memory sink materializes the result; the drops are dead
@@ -423,7 +433,20 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch/SQL answer over the bounded replay, so the *stateful* streaming
     path (session state merge across micro-batches — a strictly harder
     state machine than c66's tumbling windows) gets a DuckDB hash check,
-    not just the repo's own batch-parity tests."""
+    not just the repo's own batch-parity tests.
+
+    r8 (found by tools/fuzz_streaming.py): unlike time windows, session-
+    window aggregation applies its watermark even in COMPLETE mode —
+    sessions finalized more than the watermark delay behind the stream's
+    max event time are evicted from state and vanish from later complete
+    outputs (measured: 4-batch ascending replay of sf0.001 with a 0s
+    watermark returns 711 of 946 sessions; pinned in
+    tests/test_streaming.py). Exactness therefore requires the watermark
+    to cover the replay's full finalization horizon: the events table
+    spans ~30 days at every SF, so the 35-day watermark makes the
+    4-micro-batch replay (maxFilesPerTrigger=1 — previously one trigger,
+    which never exercised cross-batch merge) provably lossless while
+    still driving the real session-merge state machine."""
     import shutil
     import tempfile
     import uuid
@@ -435,7 +458,11 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_session_agg(
-            spark, drop_dir, query_name=f"c78_out_{uuid.uuid4().hex[:8]}"
+            spark,
+            drop_dir,
+            query_name=f"c78_out_{uuid.uuid4().hex[:8]}",
+            watermark="35 days",
+            max_files_per_trigger=1,
         )
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)
@@ -447,7 +474,12 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1h window / 30min slide) windowed aggregation replayed over file
     drops — each event updates TWO window states per micro-batch, the
     overlap bookkeeping c66's tumbling case never exercises. Final
-    complete-mode state must equal the batch/SQL answer."""
+    complete-mode state must equal the batch/SQL answer.
+
+    maxFilesPerTrigger=1 over 4 drops = a genuine 4-micro-batch replay
+    (r8): each batch updates BOTH overlapping window states per event
+    and merges into prior-batch state; fuzzed exact across random
+    window/slide/slicing/order/watermark draws (tools/fuzz_streaming.py)."""
     import shutil
     import tempfile
     import uuid
@@ -459,7 +491,10 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_sliding_agg(
-            spark, drop_dir, query_name=f"c80_out_{uuid.uuid4().hex[:8]}"
+            spark,
+            drop_dir,
+            query_name=f"c80_out_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
         )
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)

@@ -72,10 +72,11 @@ def run_streaming_sliding_agg(
     window: str = "1 hour",
     slide: str = "30 minutes",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENTS_DDL)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     agg = _sliding_agg(stream.withWatermark("ts", watermark), window, slide)
@@ -97,12 +98,13 @@ def streaming_tumbling_agg(
     source_dir: str,
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """Watermarked streaming aggregation over a file-drop directory of
     parquet event batches (micro-precision ts)."""
     stream = (
         spark.readStream.schema(EVENTS_DDL)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     return _windowed_agg(stream.withWatermark("ts", watermark), window)
@@ -135,12 +137,22 @@ def run_streaming_session_agg(
     query_name: str = "session_out",
     gap: str = "30 minutes",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """Stateful streaming sessionization (session_window + watermark),
-    driven to completion over the files currently in ``source_dir``."""
+    driven to completion over the files currently in ``source_dir``.
+
+    Watermark caveat (measured r8, tools/fuzz_streaming.py): session
+    aggregation applies the watermark even in COMPLETE output mode —
+    sessions finalized more than ``watermark`` behind the max seen event
+    time are evicted and vanish from later complete outputs (unlike
+    time-window aggregation, which is watermark-lossless in complete
+    mode). For a bounded replay that must equal the batch answer, pass a
+    watermark >= the replay's time span; the default 10 minutes is the
+    unbounded-stream posture where eviction is the point."""
     stream = (
         spark.readStream.schema(EVENTS_DDL)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     agg = _session_agg(stream.withWatermark("ts", watermark), gap)
@@ -195,10 +207,13 @@ def run_streaming_tumbling_agg(
     query_name: str = "stream_out",
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """Drive the streaming agg to completion over the files currently in
     ``source_dir`` (complete mode -> memory sink) and return the result."""
-    agg = streaming_tumbling_agg(spark, source_dir, window, watermark)
+    agg = streaming_tumbling_agg(
+        spark, source_dir, window, watermark, max_files_per_trigger
+    )
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")

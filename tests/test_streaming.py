@@ -283,3 +283,39 @@ def test_streaming_upsert_sink(spark, tmp_path):
                for r in spark.table("t_stream_upsert").collect()}
         spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
     assert got == {1: ("view", 1.0), 2: ("purchase", 20.0), 3: ("view", 3.0)}
+
+
+def test_session_complete_mode_evicts_state_past_watermark(spark, sf_small, tmp_path):
+    """Engine-behavior pin for a REAL asymmetry tools/fuzz_streaming.py
+    found on its first campaign (r8): session-window aggregation applies
+    its watermark even in COMPLETE output mode — sessions finalized more
+    than the watermark delay behind the stream's max seen event time are
+    evicted from state and vanish from later complete outputs.  (Time
+    windows do NOT do this: tumbling/sliding complete-mode replay fuzzed
+    exact under arbitrary slicing/order/watermark.)
+
+    Consequence: a bounded replay equals the batch answer only when the
+    watermark covers the replay's finalization horizon — the contract
+    c78_streaming_session and the fuzzer's session draws now encode
+    (watermark >= the events table's ~30-day span)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_small, "events")
+    drop_dir = str(tmp_path / "evict_drops")
+    # ascending global time order: NO late data ever arrives, so any loss
+    # is state eviction, not late-input filtering
+    events.repartitionByRange(4, F.asc("ts"), F.asc("event_id")).write.parquet(drop_dir)
+
+    n_batch = batch_session_agg(spark.read.parquet(drop_dir)).count()
+
+    lossy = run_streaming_session_agg(
+        spark, drop_dir, query_name="evict_lossy",
+        watermark="0 seconds", max_files_per_trigger=1,
+    ).count()
+    assert lossy < n_batch, (lossy, n_batch)  # 711 < 946 at sf0.001
+
+    exact = run_streaming_session_agg(
+        spark, drop_dir, query_name="evict_exact",
+        watermark="35 days", max_files_per_trigger=1,
+    ).count()
+    assert exact == n_batch, (exact, n_batch)

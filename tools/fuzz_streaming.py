@@ -1,0 +1,322 @@
+"""Randomized streaming-replay fuzzer: micro-batch state machines vs DuckDB.
+
+The catalog referees the Structured Streaming path at ONE fixed parameter
+point per operator (c66 tumbling 1h, c80 sliding 1h/30m, c78 session 30m —
+all with maxFilesPerTrigger=4 over 4 hash-sliced drops).  This tool fuzzes
+the dimensions that exercise the streaming STATE MACHINE itself and that no
+batch test can reach:
+
+- **window/slide/gap parameters** (including non-divisor widths — both
+  engines align to the 1970 epoch, not to hour boundaries);
+- **micro-batch slicing** (number of drop files x maxFilesPerTrigger):
+  state for the same key/window must merge identically whether it was
+  built in 1 batch or 16;
+- **arrival order** ("hash" = arbitrary interleave, "reverse_time" =
+  range-sliced descending timestamps, so late data arrives first and
+  every batch reopens old windows/sessions).
+
+Invariant under test: the FINAL complete-mode state of a watermarked
+windowed/session aggregation over a bounded replay equals the batch
+answer — verified against a parameter-templated DuckDB oracle with the
+same comparator the catalog uses (tests/oracle.compare).
+
+The invariant's DOMAIN differs by operator family, and this fuzzer's first
+campaign is what measured the boundary (r8):
+
+- **time windows (tumbling/sliding)**: exact for EVERY draw — any
+  slicing, any arrival order, any watermark.  Complete-mode time-window
+  aggregation neither filters late input nor evicts state.
+- **session windows**: Spark applies the watermark even in complete
+  mode — sessions finalized more than the watermark delay behind the
+  max seen event time are EVICTED from state and vanish from later
+  complete outputs (measured: 4-batch ascending replay of sf0.001 with
+  a 0s watermark returns 711 of 946 sessions; multi-batch hash order
+  with a 5m watermark, 485 of 946).  Pinned in tests/test_streaming.py.
+  Session draws therefore stay inside the exactness domain: either a
+  single micro-batch (any watermark) or a watermark >= the events
+  table's ~30-day span (35/60 days), which still drives the cross-batch
+  session-merge state machine on every multi-batch draw.
+
+Every case derives from ``random.Random(f"{seed}:{i}")``:
+
+    python tools/fuzz_streaming.py --n 30 --seed 7
+    python tools/fuzz_streaming.py --seed 7 --emit 12   # print case 12
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_MONEY_SUM_VALUE = (
+    "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+)
+
+# --- parameter templates -----------------------------------------------------
+# Durations in minutes; products precomputed in Python (DuckDB evaluates
+# small-literal products in INT32 and raises on overflow — repo convention).
+
+WINDOW_POOL = [7, 11, 15, 30, 45, 60, 90, 120, 240]
+GAP_POOL = [3, 7, 10, 17, 30, 34, 45, 61]
+WATERMARK_POOL = ["0 seconds", "5 minutes", "10 minutes", "1 hour"]
+N_FILES_POOL = [1, 2, 4, 8, 16]
+TRIGGER_POOL = [1, 2, 4]
+ORDER_POOL = ["hash", "reverse_time"]
+
+
+def _gen_tumbling(rng: random.Random) -> dict:
+    return {"window_minutes": rng.choice(WINDOW_POOL)}
+
+
+def _gen_sliding(rng: random.Random) -> dict:
+    # slide must divide the window: Spark requires window % slide == 0
+    # only when both are expressed in months; for fixed durations any
+    # slide <= window is accepted, but a non-divisor slide makes the
+    # covering-window count vary per event — keep both classes.
+    window = rng.choice([30, 45, 60, 90, 120])
+    divisors = [s for s in (5, 9, 10, 15, 20, 30, 45, 60) if s <= window]
+    return {"window_minutes": window, "slide_minutes": rng.choice(divisors)}
+
+
+def _gen_session(rng: random.Random) -> dict:
+    return {"gap_minutes": rng.choice(GAP_POOL)}
+
+
+def _oracle_tumbling(p: dict) -> str:
+    w_us = p["window_minutes"] * 60 * 1_000_000
+    return f"""
+        SELECT CAST(epoch_us(ts) // {w_us} * {w_us} AS BIGINT) AS window_start_us,
+               event_type, COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def _oracle_sliding(p: dict) -> str:
+    # Spark's F.window(ts, W, S): event t belongs to every epoch-aligned
+    # start k*S with t-W < start <= t.  Enumerate via j in [0, ceil(W/S))
+    # offsets below the topmost covering start, then filter exactly.
+    w_us = p["window_minutes"] * 60 * 1_000_000
+    s_us = p["slide_minutes"] * 60 * 1_000_000
+    k = -(-p["window_minutes"] // p["slide_minutes"])  # ceil
+    return f"""
+        WITH covers AS (
+          SELECT value,
+                 epoch_us(ts) AS t_us,
+                 (epoch_us(ts) // {s_us}) * {s_us} - r.j * {s_us} AS w_start_us
+          FROM events CROSS JOIN (SELECT unnest(range({k})) AS j) r
+        )
+        SELECT CAST(w_start_us AS BIGINT) AS window_start_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM covers WHERE w_start_us > t_us - {w_us}
+        GROUP BY 1
+    """
+
+
+def _oracle_session(p: dict) -> str:
+    # template of operators/events.py ORACLE["c78_streaming_session"]:
+    # session_window end = last event + gap.
+    gap_us = p["gap_minutes"] * 60 * 1_000_000
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+                      OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) + {gap_us} AS session_end_us,
+               COUNT(*) AS n_events,
+               {_MONEY_SUM_VALUE} AS total_value
+        FROM numbered GROUP BY user_id, seq
+    """
+
+
+OPERATORS: dict[str, dict] = {
+    "tumbling": {"gen": _gen_tumbling, "oracle": _oracle_tumbling},
+    "sliding": {"gen": _gen_sliding, "oracle": _oracle_sliding},
+    "session": {"gen": _gen_session, "oracle": _oracle_session},
+}
+
+
+SESSION_SAFE_WATERMARKS = ["35 days", "60 days"]
+
+
+def gen_case(seed, i: int, ops: list[str] | None = None) -> tuple[str, dict]:
+    rng = random.Random(f"{seed}:{i}")
+    name = rng.choice(sorted(ops or OPERATORS))
+    params = OPERATORS[name]["gen"](rng)
+    params["n_files"] = rng.choice(N_FILES_POOL)
+    params["max_files_per_trigger"] = rng.choice(TRIGGER_POOL)
+    params["order"] = rng.choice(ORDER_POOL)
+    params["watermark"] = rng.choice(WATERMARK_POOL)
+    if name == "session":
+        # stay inside the measured exactness domain (module docstring):
+        # single batch with any watermark, or multi-batch with a
+        # watermark covering the ~30-day event span.
+        if rng.random() < 0.5:
+            params["n_files"] = rng.choice([1, 2, 4])
+            params["max_files_per_trigger"] = 4
+        else:
+            params["watermark"] = rng.choice(SESSION_SAFE_WATERMARKS)
+    return name, params
+
+
+# --- replay ------------------------------------------------------------------
+
+
+def _land_drops(spark, sf_dir: str, p: dict, drop_dir: str) -> None:
+    """Re-land events as ``n_files`` parquet drops in the chosen arrival
+    order.  hash = arbitrary interleave (repartition); reverse_time =
+    range-sliced on descending ts, so part-00000 holds the LATEST events
+    and every later micro-batch reopens earlier windows/sessions."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = p["n_files"]
+    if p["order"] == "reverse_time":
+        sliced = ev.repartitionByRange(n, F.desc("ts"), F.desc("event_id"))
+    else:
+        sliced = ev.repartition(n)
+    sliced.write.mode("overwrite").parquet(drop_dir)
+
+
+def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_session_agg,
+        run_streaming_sliding_agg,
+        run_streaming_tumbling_agg,
+    )
+
+    drop_dir = tempfile.mkdtemp(prefix=f"sfuzz_{tag}_")
+    try:
+        _land_drops(spark, sf_dir, p, drop_dir)
+        common = dict(
+            query_name=f"sfuzz_{tag}",
+            watermark=p["watermark"],
+            max_files_per_trigger=p["max_files_per_trigger"],
+        )
+        if name == "tumbling":
+            df = run_streaming_tumbling_agg(
+                spark, drop_dir, window=f"{p['window_minutes']} minutes", **common
+            )
+        elif name == "sliding":
+            df = run_streaming_sliding_agg(
+                spark,
+                drop_dir,
+                window=f"{p['window_minutes']} minutes",
+                slide=f"{p['slide_minutes']} minutes",
+                **common,
+            )
+        else:
+            df = run_streaming_session_agg(
+                spark, drop_dir, gap=f"{p['gap_minutes']} minutes", **common
+            )
+        # Memory-sink tables are materialized; force before the drops vanish.
+        df = spark.createDataFrame(df.collect(), df.schema)
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return df
+
+
+def run_campaign(
+    spark,
+    sf_dir: str,
+    n: int,
+    seed,
+    ops: list[str] | None = None,
+    max_failures: int = 10,
+) -> dict:
+    from tests.oracle import compare
+
+    ok = 0
+    per_op: dict[str, int] = {}
+    failures: list[dict] = []
+    errors: list[dict] = []
+    for i in range(n):
+        name, p = gen_case(seed, i, ops)
+        label = f"{name}:{json.dumps(p, sort_keys=True)}"
+        try:
+            df = run_case(spark, sf_dir, name, p, tag=f"{i}")
+            res = compare(f"sfuzz_{i}", df, OPERATORS[name]["oracle"](p), sf_dir)
+        except Exception as exc:
+            errors.append({"i": i, "case": label, "err": f"{type(exc).__name__}: {exc}"})
+            if len(errors) + len(failures) >= max_failures:
+                break
+            continue
+        if res.ok:
+            ok += 1
+            per_op[name] = per_op.get(name, 0) + 1
+        else:
+            failures.append({"i": i, "case": label, "mismatches": res.mismatches[:4]})
+            if len(errors) + len(failures) >= max_failures:
+                break
+    return {
+        "metric": "fuzz_streaming",
+        "sf_dir": sf_dir,
+        "n": n,
+        "seed": str(seed),
+        "ok": ok,
+        "per_op": per_op,
+        "fail": len(failures),
+        "err": len(errors),
+        "failures": failures,
+        "errors": errors,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--n", type=int, default=30)
+    ap.add_argument("--seed", default="7")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    )
+    ap.add_argument("--ops", default=None, help="comma list from: " + ",".join(OPERATORS))
+    ap.add_argument("--emit", type=int, default=None, help="print case i and exit")
+    args = ap.parse_args()
+
+    ops = args.ops.split(",") if args.ops else None
+    if args.emit is not None:
+        name, p = gen_case(args.seed, args.emit, ops)
+        print(name, json.dumps(p, sort_keys=True))
+        print(OPERATORS[name]["oracle"](p))
+        return 0
+
+    from data_engineering_zoomcamp_my_test_spark.session import EngineConfig, get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        EngineConfig(
+            master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="fuzz_streaming"
+        )
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    out = run_campaign(spark, args.sf_dir, args.n, args.seed, ops)
+    out["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+    return 1 if (out["fail"] or out["err"]) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

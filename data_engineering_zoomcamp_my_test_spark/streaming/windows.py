@@ -286,14 +286,23 @@ def run_streaming_attribution_join(
     query_name: str = "attrib_out",
     attribution_window: str = "30 minutes",
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ):
     """Stream-stream interval join — purchase events attributed to the
     user's views within the preceding window. Both sides carry watermarks
     and the join condition is time-bounded, so Spark can expire join state
     (unbounded state is the stream-stream join failure mode). Same
     builder-sharing pattern as the windowed aggs: the batch twin above
-    replays to identical rows (parity test)."""
-    stream = spark.readStream.schema(EVENTS_DDL).parquet(source_path)
+    replays to identical rows (parity test).
+
+    For a bounded replay that must equal the batch join, the watermark
+    must cover the replay's disorder — expired state loses matches whose
+    partner arrives late (same exactness-domain shape as session
+    aggregation; measured by tools/fuzz_streaming.py)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
     views = (
         stream.filter(F.col("event_type") == "view")
         .select(

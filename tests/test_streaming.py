@@ -319,3 +319,58 @@ def test_session_complete_mode_evicts_state_past_watermark(spark, sf_small, tmp_
         watermark="35 days", max_files_per_trigger=1,
     ).count()
     assert exact == n_batch, (exact, n_batch)
+
+
+def test_stream_stream_join_expires_state_past_watermark(spark, tmp_path):
+    """Engine-behavior pin (r8, found while extending fuzz_streaming to the
+    stream-stream interval join): append-mode stream-stream joins lose
+    matches whose partner arrives later than the watermark allows — the
+    expired side's state is gone, same exactness-domain shape as session
+    eviction.  A bounded replay equals the batch join only when the
+    watermark covers the replay's disorder (the fuzzer's attribution
+    draws encode this)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        batch_view_purchase_attribution,
+        run_streaming_attribution_join,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i + off, ts, u, et, 1.0, "{}") for i, (off, ts, u, et) in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+
+    # batch 1: the purchase, plus non-matching 20:00 events on BOTH sides
+    # (the join watermark is the min across sides) -> wm ~ 19:00
+    b1 = [
+        (0, "2024-01-01 10:10:00", 1, "purchase"),
+        (10, "2024-01-01 20:00:00", 2, "view"),
+        (20, "2024-01-01 20:00:00", 3, "purchase"),
+    ]
+    # batch 2: u1's view at 10:00 — nine hours behind the watermark
+    b2 = [(30, "2024-01-01 10:00:00", 1, "view")]
+
+    n_batch = batch_view_purchase_attribution(mk(b1 + b2)).count()
+    assert n_batch == 1  # u1: view 10:00 -> purchase 10:10 within 30 min
+
+    for wm, expect in (("1 hour", 0), ("1000 hours", 1)):
+        tag = f"ssj_{wm.split()[0]}"
+        src = str(tmp_path / f"src_{tag}")
+        mk(b1).coalesce(1).write.parquet(src)
+        q = run_streaming_attribution_join(
+            spark, src, str(tmp_path / f"ckpt_{tag}"), query_name=tag,
+            watermark=wm, max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+            mk(b2).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.table(tag).count() == expect, (wm, expect)

@@ -520,6 +520,108 @@ def _percentiles_oracle(p: dict) -> str:
     """
 
 
+def _shard_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import shard_assign
+
+    return shard_assign(load_table(spark, sf_dir, "documents"), n_shards=p["n_shards"])
+
+
+def _shard_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c59_shard_assign"]
+    n = p["n_shards"]
+    return f"""
+        WITH h AS (
+          SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents
+        )
+        SELECT doc_id, CAST(h % {n} AS INT) AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY h % {n} ORDER BY h, doc_id) - 1 AS BIGINT)
+                 AS shard_pos
+        FROM h
+    """
+
+
+def _negsamp_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        negative_sampling,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_sampling(emb, emb.filter(F.col("vec_id") < p["q_cap"]), k=p["k"])
+
+
+def _negsamp_oracle(p: dict) -> str:
+    # template of operators/similarity.py ORACLE["c67_negative_sampling"]
+    return f"""
+        WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+        draws AS (
+          SELECT vec_id, label AS qlabel,
+                 CAST(unnest(generate_series(1, {p["k"]})) AS BIGINT) AS j
+          FROM embeddings WHERE vec_id < {p["q_cap"]}
+        ),
+        raw AS (
+          SELECT vec_id, qlabel, j,
+                 (vec_id * 2654435761 + j * 97) % cnt AS nraw, cnt
+          FROM draws, n
+        ),
+        pick AS (
+          SELECT vec_id, qlabel, j,
+                 CAST(CASE WHEN nraw = vec_id THEN (nraw + 1) % cnt
+                      ELSE nraw END AS BIGINT) AS neg_id
+          FROM raw
+        )
+        SELECT p.vec_id, p.j, p.neg_id,
+               (e.label = p.qlabel) AS neg_same_label
+        FROM pick p JOIN embeddings e ON e.vec_id = p.neg_id
+    """
+
+
+def _dup_spans_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import dup_spans
+
+    return dup_spans(load_table(spark, sf_dir, "documents"), k=p["k"])
+
+
+def _dup_spans_oracle(p: dict) -> str:
+    # template of operators/dedup.py _DUP_SPANS_SQL (the c62 oracle, k=5)
+    k = p["k"]
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(t[i:i+{k - 1}], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i)
+          WHERE len(t) >= {k}
+        ),
+        dup AS (
+          SELECT gram FROM grams GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        marks AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                      THEN 0 ELSE 1 END AS brk
+          FROM marks
+        ),
+        grouped AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged
+        )
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_dup_grams
+        FROM grouped GROUP BY doc_id, grp
+    """
+
+
 OPERATORS: dict[str, dict] = {
     "histogram": {
         "gen": lambda rng: {
@@ -635,6 +737,30 @@ OPERATORS: dict[str, dict] = {
         },
         "spark": _resample_spark,
         "oracle": _resample_oracle,
+    },
+    "shard_assign": {
+        # n_shards=1 collapses to one global sequence; primes force
+        # uneven residue classes of the Knuth hash
+        "gen": lambda rng: {"n_shards": rng.choice([1, 2, 7, 16, 64, 101, 256])},
+        "spark": _shard_spark,
+        "oracle": _shard_oracle,
+    },
+    "negative_sampling": {
+        # k*q_cap rows; the hash-chain draw and the self-draw bump must
+        # agree for every (k, query-set) combination
+        "gen": lambda rng: {
+            "k": rng.choice([1, 2, 4, 8, 16]),
+            "q_cap": rng.choice([10, 100, 500]),
+        },
+        "spark": _negsamp_spark,
+        "oracle": _negsamp_oracle,
+    },
+    "dup_spans": {
+        # k=2 floods with common bigrams (max marks); k=12 finds almost
+        # nothing — both extremes of the island-merge window
+        "gen": lambda rng: {"k": rng.choice([2, 3, 5, 8, 12])},
+        "spark": _dup_spans_spark,
+        "oracle": _dup_spans_oracle,
     },
 }
 

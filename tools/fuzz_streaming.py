@@ -36,6 +36,12 @@ campaign is what measured the boundary (r8):
   single micro-batch (any watermark) or a watermark >= the events
   table's ~30-day span (35/60 days), which still drives the cross-batch
   session-merge state machine on every multi-batch draw.
+- **stream-stream interval join (attribution)**: same shape as session —
+  append-mode join state expires past the watermark, so a match whose
+  partner arrives later is lost (pinned in tests/test_streaming.py with
+  a constructed two-batch case: 1-hour watermark loses the match, big
+  watermark recovers it).  Attribution draws use the same safe domain
+  as session.
 
 Every case derives from ``random.Random(f"{seed}:{i}")``:
 
@@ -88,6 +94,10 @@ def _gen_sliding(rng: random.Random) -> dict:
 
 def _gen_session(rng: random.Random) -> dict:
     return {"gap_minutes": rng.choice(GAP_POOL)}
+
+
+def _gen_attribution(rng: random.Random) -> dict:
+    return {"attr_minutes": rng.choice([5, 10, 17, 30, 45, 61, 120])}
 
 
 def _oracle_tumbling(p: dict) -> str:
@@ -149,10 +159,29 @@ def _oracle_session(p: dict) -> str:
     """
 
 
+def _oracle_attribution(p: dict) -> str:
+    # batch twin of the stream-stream interval join (events.py c72 shape,
+    # templated by the attribution window)
+    w_us = p["attr_minutes"] * 60 * 1_000_000
+    return f"""
+        SELECT p.user_id AS p_user,
+               p.event_id AS purchase_id,
+               v.event_id AS view_id,
+               epoch_us(v.ts) AS view_us,
+               epoch_us(p.ts) AS purchase_us
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(v.ts)
+         AND epoch_us(p.ts) <= epoch_us(v.ts) + {w_us}
+    """
+
+
 OPERATORS: dict[str, dict] = {
     "tumbling": {"gen": _gen_tumbling, "oracle": _oracle_tumbling},
     "sliding": {"gen": _gen_sliding, "oracle": _oracle_sliding},
     "session": {"gen": _gen_session, "oracle": _oracle_session},
+    "attribution": {"gen": _gen_attribution, "oracle": _oracle_attribution},
 }
 
 
@@ -167,10 +196,13 @@ def gen_case(seed, i: int, ops: list[str] | None = None) -> tuple[str, dict]:
     params["max_files_per_trigger"] = rng.choice(TRIGGER_POOL)
     params["order"] = rng.choice(ORDER_POOL)
     params["watermark"] = rng.choice(WATERMARK_POOL)
-    if name == "session":
+    if name in ("session", "attribution"):
         # stay inside the measured exactness domain (module docstring):
         # single batch with any watermark, or multi-batch with a
-        # watermark covering the ~30-day event span.
+        # watermark covering the ~30-day event span.  (Attribution is a
+        # stream-stream append-mode join: expired join state loses
+        # matches whose partner arrives late — same shape as session
+        # eviction.)
         if rng.random() < 0.5:
             params["n_files"] = rng.choice([1, 2, 4])
             params["max_files_per_trigger"] = 4
@@ -200,6 +232,41 @@ def _land_drops(spark, sf_dir: str, p: dict, drop_dir: str) -> None:
     sliced.write.mode("overwrite").parquet(drop_dir)
 
 
+def _run_attribution(spark, drop_dir: str, p: dict, tag: str):
+    """Drive the stream-stream interval join to completion (append mode
+    needs a checkpoint; memory sink accumulates emitted matches)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_attribution_join,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix=f"sfuzz_ckpt_{tag}_")
+    try:
+        q = run_streaming_attribution_join(
+            spark,
+            drop_dir,
+            ckpt,
+            query_name=f"sfuzz_{tag}",
+            attribution_window=f"{p['attr_minutes']} minutes",
+            watermark=p["watermark"],
+            max_files_per_trigger=p["max_files_per_trigger"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(f"sfuzz_{tag}").select(
+            "p_user",
+            "purchase_id",
+            "view_id",
+            F.unix_micros("view_ts").alias("view_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
     from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
         run_streaming_session_agg,
@@ -227,6 +294,8 @@ def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
                 slide=f"{p['slide_minutes']} minutes",
                 **common,
             )
+        elif name == "attribution":
+            df = _run_attribution(spark, drop_dir, p, tag)
         else:
             df = run_streaming_session_agg(
                 spark, drop_dir, gap=f"{p['gap_minutes']} minutes", **common

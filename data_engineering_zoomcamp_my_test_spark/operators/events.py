@@ -435,15 +435,17 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     state machine than c66's tumbling windows) gets a DuckDB hash check,
     not just the repo's own batch-parity tests.
 
-    r8 (found by tools/fuzz_streaming.py): unlike time windows, session-
-    window aggregation applies its watermark even in COMPLETE mode —
-    sessions finalized more than the watermark delay behind the stream's
-    max event time are evicted from state and vanish from later complete
-    outputs (measured: 4-batch ascending replay of sf0.001 with a 0s
-    watermark returns 711 of 946 sessions; pinned in
-    tests/test_streaming.py). Exactness therefore requires the watermark
-    to cover the replay's full finalization horizon: the events table
-    spans ~30 days at every SF, so the 35-day watermark makes the
+    r8 (found by tools/fuzz_streaming.py, mechanism isolated by a
+    controlled-arrival experiment): unlike time windows, session-window
+    aggregation FILTERS LATE INPUT by its watermark even in COMPLETE
+    mode — rows older than the batch-start watermark are dropped before
+    the merge (measured: 4-batch replay of sf0.001 with a 0s watermark
+    loses sessions whenever arrival is out of order, e.g. 711 of 946;
+    guaranteed-ascending arrival loses nothing, proving complete mode
+    never EVICTS session state). Both arms pinned in
+    tests/test_streaming.py. Exactness therefore requires the watermark
+    to cover the replay's DISORDER under any arrival order: the events
+    table spans ~30 days at every SF, so the 35-day watermark makes the
     4-micro-batch replay (maxFilesPerTrigger=1 — previously one trigger,
     which never exercised cross-batch merge) provably lossless while
     still driving the real session-merge state machine."""

@@ -143,13 +143,14 @@ def run_streaming_session_agg(
     driven to completion over the files currently in ``source_dir``.
 
     Watermark caveat (measured r8, tools/fuzz_streaming.py): session
-    aggregation applies the watermark even in COMPLETE output mode —
-    sessions finalized more than ``watermark`` behind the max seen event
-    time are evicted and vanish from later complete outputs (unlike
-    time-window aggregation, which is watermark-lossless in complete
-    mode). For a bounded replay that must equal the batch answer, pass a
-    watermark >= the replay's time span; the default 10 minutes is the
-    unbounded-stream posture where eviction is the point."""
+    aggregation applies the watermark TO ITS INPUT even in COMPLETE
+    output mode — rows older than the batch-start watermark are dropped
+    before the session merge (complete mode never evicts state, but
+    out-of-order arrival still loses data; time-window aggregation does
+    neither). For a bounded replay that must equal the batch answer,
+    pass a watermark >= the replay's possible disorder (its time span
+    bounds any arrival order); the default 10 minutes is the
+    unbounded-stream posture where dropping stragglers is the point."""
     stream = (
         spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -285,37 +285,75 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert got == {1: ("view", 1.0), 2: ("purchase", 20.0), 3: ("view", 3.0)}
 
 
-def test_session_complete_mode_evicts_state_past_watermark(spark, sf_small, tmp_path):
+def test_session_complete_mode_filters_late_input_by_watermark(spark, sf_small, tmp_path):
     """Engine-behavior pin for a REAL asymmetry tools/fuzz_streaming.py
-    found on its first campaign (r8): session-window aggregation applies
-    its watermark even in COMPLETE output mode — sessions finalized more
-    than the watermark delay behind the stream's max seen event time are
-    evicted from state and vanish from later complete outputs.  (Time
-    windows do NOT do this: tumbling/sliding complete-mode replay fuzzed
-    exact under arbitrary slicing/order/watermark.)
+    found on its first campaign (r8), sharpened by a controlled-arrival
+    experiment: session-window aggregation applies its watermark to the
+    INPUT even in COMPLETE output mode — rows older than the watermark at
+    batch start are dropped before the merge — while complete mode never
+    evicts session state (time windows do neither: tumbling/sliding
+    fuzzed exact under arbitrary order with 0s watermarks).
 
-    Consequence: a bounded replay equals the batch answer only when the
-    watermark covers the replay's finalization horizon — the contract
-    c78_streaming_session and the fuzzer's session draws now encode
-    (watermark >= the events table's ~30-day span)."""
+    The two arms separate the mechanisms: with guaranteed ASCENDING
+    arrival and a 0s watermark there is NO loss (state is never evicted,
+    and nothing ever arrives late); with DESCENDING arrival (newest file
+    first, so the watermark jumps to the stream max immediately) most
+    input is late and the result loses sessions.  Consequence: a bounded
+    replay equals the batch answer iff the watermark covers the replay's
+    DISORDER — the contract c78_streaming_session and the fuzzer's
+    session draws encode (watermark >= the events table's ~30-day span,
+    which bounds any arrival order).
+
+    Files are landed as SEQUENTIAL single-file writes (strictly
+    increasing mtime) because the file source orders same-mtime files
+    arbitrarily — the nondeterminism that made the first version of this
+    pin flaky."""
+    import time as _time
+
     from pyspark.sql import functions as F
 
     events = load_table(spark, sf_small, "events")
-    drop_dir = str(tmp_path / "evict_drops")
-    # ascending global time order: NO late data ever arrives, so any loss
-    # is state eviction, not late-input filtering
-    events.repartitionByRange(4, F.asc("ts"), F.asc("event_id")).write.parquet(drop_dir)
 
-    n_batch = batch_session_agg(spark.read.parquet(drop_dir)).count()
+    us = events.select(F.unix_micros("ts").alias("u"))
+    q = us.approxQuantile("u", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *q, None]
 
-    lossy = run_streaming_session_agg(
-        spark, drop_dir, query_name="evict_lossy",
+    def land(drop_dir: str, order: list[int]) -> None:
+        for i in order:
+            lo, hi = bounds[i], bounds[i + 1]
+            sl = events
+            if lo is not None:
+                sl = sl.filter(F.unix_micros("ts") > lo)
+            if hi is not None:
+                sl = sl.filter(F.unix_micros("ts") <= hi)
+            sl.coalesce(1).write.mode("append").parquet(drop_dir)
+            _time.sleep(0.3)
+
+    asc_dir = str(tmp_path / "asc_drops")
+    land(asc_dir, [0, 1, 2, 3])
+    n_batch = batch_session_agg(spark.read.parquet(asc_dir)).count()
+
+    # ascending + 0s watermark: nothing is ever late, and complete mode
+    # retains every finalized session -> NO eviction, exact result
+    asc = run_streaming_session_agg(
+        spark, asc_dir, query_name="late_asc",
         watermark="0 seconds", max_files_per_trigger=1,
     ).count()
-    assert lossy < n_batch, (lossy, n_batch)  # 711 < 946 at sf0.001
+    assert asc == n_batch, (asc, n_batch)
 
+    # descending + 0s watermark: the first batch advances the watermark
+    # to the stream max, so later (older) files are late input -> loss
+    desc_dir = str(tmp_path / "desc_drops")
+    land(desc_dir, [3, 2, 1, 0])
+    lossy = run_streaming_session_agg(
+        spark, desc_dir, query_name="late_desc",
+        watermark="0 seconds", max_files_per_trigger=1,
+    ).count()
+    assert lossy < n_batch, (lossy, n_batch)
+
+    # descending + replay-covering watermark: nothing is late -> exact
     exact = run_streaming_session_agg(
-        spark, drop_dir, query_name="evict_exact",
+        spark, desc_dir, query_name="late_desc_bigwm",
         watermark="35 days", max_files_per_trigger=1,
     ).count()
     assert exact == n_batch, (exact, n_batch)
@@ -324,9 +362,10 @@ def test_session_complete_mode_evicts_state_past_watermark(spark, sf_small, tmp_
 def test_stream_stream_join_expires_state_past_watermark(spark, tmp_path):
     """Engine-behavior pin (r8, found while extending fuzz_streaming to the
     stream-stream interval join): append-mode stream-stream joins lose
-    matches whose partner arrives later than the watermark allows — the
-    expired side's state is gone, same exactness-domain shape as session
-    eviction.  A bounded replay equals the batch join only when the
+    matches whose partner arrives later than the watermark allows
+    (late-input drop and/or join-state expiry — both are watermark-gated
+    for joins), same exactness-domain shape as the session late-input
+    filter.  A bounded replay equals the batch join only when the
     watermark covers the replay's disorder (the fuzzer's attribution
     draws encode this)."""
     from pyspark.sql import functions as F

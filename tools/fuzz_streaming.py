@@ -26,16 +26,18 @@ campaign is what measured the boundary (r8):
 - **time windows (tumbling/sliding)**: exact for EVERY draw — any
   slicing, any arrival order, any watermark.  Complete-mode time-window
   aggregation neither filters late input nor evicts state.
-- **session windows**: Spark applies the watermark even in complete
-  mode — sessions finalized more than the watermark delay behind the
-  max seen event time are EVICTED from state and vanish from later
-  complete outputs (measured: 4-batch ascending replay of sf0.001 with
-  a 0s watermark returns 711 of 946 sessions; multi-batch hash order
-  with a 5m watermark, 485 of 946).  Pinned in tests/test_streaming.py.
+- **session windows**: Spark FILTERS LATE INPUT by the watermark even
+  in complete mode — rows older than the batch-start watermark are
+  dropped before the session merge (measured: multi-batch replays of
+  sf0.001 with tight watermarks lose sessions whenever arrival is out
+  of order, e.g. 711/946 and 485/946; a controlled guaranteed-ascending
+  replay with a 0s watermark loses NOTHING, proving complete mode never
+  evicts session state).  Both arms pinned in tests/test_streaming.py.
   Session draws therefore stay inside the exactness domain: either a
   single micro-batch (any watermark) or a watermark >= the events
-  table's ~30-day span (35/60 days), which still drives the cross-batch
-  session-merge state machine on every multi-batch draw.
+  table's ~30-day span (35/60 days — bounds the disorder of any arrival
+  order), which still drives the cross-batch session-merge state
+  machine on every multi-batch draw.
 - **stream-stream interval join (attribution)**: same shape as session —
   append-mode join state expires past the watermark, so a match whose
   partner arrives later is lost (pinned in tests/test_streaming.py with
@@ -200,9 +202,9 @@ def gen_case(seed, i: int, ops: list[str] | None = None) -> tuple[str, dict]:
         # stay inside the measured exactness domain (module docstring):
         # single batch with any watermark, or multi-batch with a
         # watermark covering the ~30-day event span.  (Attribution is a
-        # stream-stream append-mode join: expired join state loses
-        # matches whose partner arrives late — same shape as session
-        # eviction.)
+        # stream-stream append-mode join: its watermark semantics —
+        # late-input drop / state expiry — lose matches whose partner
+        # arrives late, same exactness-domain shape as session.)
         if rng.random() < 0.5:
             params["n_files"] = rng.choice([1, 2, 4])
             params["max_files_per_trigger"] = 4

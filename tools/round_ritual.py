@@ -7,6 +7,10 @@ gate-pass lines are produced by the tool, not by hand. One command does it:
 
 Steps (each prints its evidence; exit nonzero on any gate failure):
 
+0. **box state** — ``tools/boxstate.py`` before and after the bench step
+   (hypervisor steal %, per-core throughput spread), recorded next to the
+   gate verdict so a timing anomaly on a stolen box is adjudicable from
+   the evidence block alone (round-8 finding: 11.1% steal, 1.55x spread).
 1. **bench** — run ``bench.py`` at $SPARK_GRAFT_SF_DIR (default sf0.1) and
    capture its one-line JSON.
 2. **gate** — feed that result through ``tools/bench_gate.py`` (2x-of-round-1
@@ -39,14 +43,14 @@ GATE_RATIO = 2.0
 ABS_FLOOR_SEC = 0.75
 
 
-def _run_json(cmd: list[str]) -> dict:
+def _run_json(cmd: list[str], marker: str = '"queries"') -> dict:
     """Run a tool that prints one JSON line (amid possible log noise)."""
     proc = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, check=False
     )
     for line in reversed(proc.stdout.splitlines()):
         line = line.strip()
-        if line.startswith("{") and '"queries"' in line:
+        if line.startswith("{") and marker in line:
             return json.loads(line)
     raise SystemExit(
         f"ritual: {' '.join(cmd)} produced no JSON line "
@@ -115,19 +119,32 @@ def main() -> int:
     lines: list[str] = []
     ok = True
 
-    print("== ritual step 1/4: bench.py ==", flush=True)
+    print("== ritual step 0/4: box state ==", flush=True)
+    box_before = _run_json([sys.executable, "tools/boxstate.py"], marker='"boxstate"')
+    print(json.dumps(box_before))
+
+    print("\n== ritual step 1/4: bench.py ==", flush=True)
     bench = _run_json([sys.executable, "bench.py"])
     print(json.dumps(bench))
+    box_after = _run_json([sys.executable, "tools/boxstate.py"], marker='"boxstate"')
 
     print("\n== ritual step 2/4: bench gate ==", flush=True)
+    box_note = (
+        f" (box: steal {box_before['steal_pct']:.1f}%->"
+        f"{box_after['steal_pct']:.1f}%, in-run "
+        f"{bench.get('steal_pct', 'n/a')}%, core spread "
+        f"{box_before['core_spread']:.2f}x)"
+    )
     if _gate(None, stdin_payload=json.dumps(bench)):
         lines.append(
             f"local bench {bench['value']:.2f}s @ sf{bench['sf']}: gate PASS"
+            + box_note
         )
     else:
         ok = False
         lines.append(
             f"local bench {bench['value']:.2f}s @ sf{bench['sf']}: gate FAIL"
+            + box_note
         )
     if args.round is not None:
         drv = REPO / f"BENCH_r{args.round:02d}.json"

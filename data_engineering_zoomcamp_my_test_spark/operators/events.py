@@ -409,6 +409,13 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     drop_dir = tempfile.mkdtemp(prefix="c66_drops_")
+    # The final state lands in a distributed parquet sink (r8: the memory
+    # sink serializes the whole state to the driver, which cannot scale —
+    # c78's 95M-session state broke spark.driver.maxResultSize at sf100).
+    # The sink dir must outlive this call: the returned DataFrame reads it
+    # lazily.  The consumed drops are deleted; the small sink dir stays
+    # until /tmp cleanup.
+    sink_dir = tempfile.mkdtemp(prefix="c66_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_tumbling_agg(
@@ -416,10 +423,10 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             drop_dir,
             query_name=f"c66_out_{uuid.uuid4().hex[:8]}",
             max_files_per_trigger=1,
+            sink_dir=sink_dir,
         )
     finally:
-        # The memory sink materializes the result; the drops are dead
-        # weight the moment the query stops.
+        # The drops are dead weight the moment the query stops.
         shutil.rmtree(drop_dir, ignore_errors=True)
     return out
 
@@ -457,6 +464,10 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     drop_dir = tempfile.mkdtemp(prefix="c78_drops_")
+    # Distributed parquet sink (see c66): at sf100 this decl's final state
+    # is 95M sessions — the memory sink broke spark.driver.maxResultSize
+    # there; with foreachBatch the state never touches the driver.
+    sink_dir = tempfile.mkdtemp(prefix="c78_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_session_agg(
@@ -465,6 +476,7 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_name=f"c78_out_{uuid.uuid4().hex[:8]}",
             watermark="35 days",
             max_files_per_trigger=1,
+            sink_dir=sink_dir,
         )
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)
@@ -497,6 +509,7 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             drop_dir,
             query_name=f"c80_out_{uuid.uuid4().hex[:8]}",
             max_files_per_trigger=1,
+            sink_dir=tempfile.mkdtemp(prefix="c80_state_"),
         )
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)

@@ -44,6 +44,75 @@ def batch_tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     return _windowed_agg(events, window)
 
 
+def _drive_complete_mode(
+    spark: SparkSession, agg: DataFrame, query_name: str, sink_dir: str | None
+) -> DataFrame:
+    """Run a complete-mode streaming agg to completion and return its final
+    state.
+
+    ``sink_dir=None`` uses the memory sink (cheap, driver-materialized —
+    right for tests and driver-gate scale).  A path switches to the SCALE
+    sink: ``foreachBatch`` overwrites ``sink_dir`` with each epoch's full
+    result — a distributed parquet write, so the state NEVER serializes to
+    the driver; the last epoch is by construction the final state.  Found
+    the hard way at sf100: c78's 95M-session final state exceeded
+    spark.driver.maxResultSize through the memory sink, while the same
+    replay through this sink is bounded only by executor/disk.  This is
+    also the production posture — a complete-mode refresh lands in a table
+    per epoch, not in driver memory.  The returned DataFrame reads lazily
+    from ``sink_dir``, which must outlive consumption (callers pass a temp
+    dir they clean after the compare, or a real output path).
+
+    The scale arm also swaps the state store to the RocksDB provider for
+    the duration of the query (conf restored after): the default
+    HDFS-backed provider holds every key IN JVM HEAP (plus retained
+    versions) — c78's 95M-session state OOMed the 16g local-mode heap at
+    sf100 even with the distributed sink — while RocksDB keeps state in
+    native memory + local disk, which is the documented Spark posture for
+    large stateful streaming and the only one that survives 100 TB keys.
+    """
+    if sink_dir is None:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(query_name)
+
+    def _land(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink_dir)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .queryName(query_name)
+            .foreachBatch(_land)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.read.parquet(sink_dir)
+
+
 def _sliding_agg(df: DataFrame, window: str, slide: str) -> DataFrame:
     return (
         df.groupBy(F.window("ts", window, slide).alias("w"))
@@ -73,6 +142,7 @@ def run_streaming_sliding_agg(
     slide: str = "30 minutes",
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 4,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENTS_DDL)
@@ -80,17 +150,7 @@ def run_streaming_sliding_agg(
         .parquet(source_dir)
     )
     agg = _sliding_agg(stream.withWatermark("ts", watermark), window, slide)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(query_name)
+    return _drive_complete_mode(spark, agg, query_name, sink_dir)
 
 
 def streaming_tumbling_agg(
@@ -138,6 +198,7 @@ def run_streaming_session_agg(
     gap: str = "30 minutes",
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 4,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Stateful streaming sessionization (session_window + watermark),
     driven to completion over the files currently in ``source_dir``.
@@ -157,17 +218,7 @@ def run_streaming_session_agg(
         .parquet(source_dir)
     )
     agg = _session_agg(stream.withWatermark("ts", watermark), gap)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(query_name)
+    return _drive_complete_mode(spark, agg, query_name, sink_dir)
 
 
 def stream_to_parquet_exactly_once(
@@ -209,23 +260,15 @@ def run_streaming_tumbling_agg(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     max_files_per_trigger: int = 4,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Drive the streaming agg to completion over the files currently in
-    ``source_dir`` (complete mode -> memory sink) and return the result."""
+    ``source_dir`` (complete mode -> memory or distributed-parquet sink,
+    see ``_drive_complete_mode``) and return the final state."""
     agg = streaming_tumbling_agg(
         spark, source_dir, window, watermark, max_files_per_trigger
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(query_name)
+    return _drive_complete_mode(spark, agg, query_name, sink_dir)
 
 
 def run_streaming_dedup(

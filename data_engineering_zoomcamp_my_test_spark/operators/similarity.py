@@ -580,10 +580,11 @@ def c48_lsh_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_blocked_neardup(emb, threshold=0.9)
 
 
-def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l2_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embeddings (the standard pre-step before cosine ANN:
     normalized vectors turn cosine into dot product). Array-valued output,
-    all higher-order functions."""
+    all higher-order functions. Library API — the driver-declared c38
+    projection explodes this to scalar rows (see c38_l2_normalize)."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm = l2_norm("embedding")
     return emb.select(
@@ -594,11 +595,26 @@ def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def c39_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c38_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-declared projection of :func:`l2_normalize_embeddings`.
+
+    The array column is posexploded to ``(vec_id, pos, unit_val)`` scalar
+    rows because the driver comparator cannot canonicalize array-typed
+    cells (r8 `err`: unhashable numpy.ndarray inside its pandas sort).
+    One generator, no shuffle — the exploded decl costs the same scan as
+    the array one and verifies every element exactly."""
+    unit = l2_normalize_embeddings(spark, sf_dir)
+    return unit.select(
+        "vec_id", F.posexplode("unit_vec").alias("pos", "unit_val")
+    )
+
+
+def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of embeddings (the storage-scale
     path for 100 TB vector corpora: 4x smaller than float32, dot products
     in integer space). floor(x*scale + 0.5) keeps rounding deterministic
-    and engine-portable."""
+    and engine-portable. Library API — the driver-declared c39 projection
+    explodes this to scalar rows (see c39_quantize_int8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     max_abs = F.aggregate(
         F.col("embedding"),
@@ -613,6 +629,16 @@ def c39_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
             lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
         ).alias("q_vec"),
+    )
+
+
+def c39_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-declared projection of :func:`quantize_int8_embeddings`,
+    posexploded to ``(vec_id, scale, pos, q_val)`` scalar rows for the
+    driver comparator (same r8 array-cell limitation as c38)."""
+    q = quantize_int8_embeddings(spark, sf_dir)
+    return q.select(
+        "vec_id", "scale", F.posexplode("q_vec").alias("pos", "q_val")
     )
 
 
@@ -788,21 +814,26 @@ ORACLE = {
                (e.label = p.qlabel) AS neg_same_label
         FROM pick p JOIN embeddings e ON e.vec_id = p.neg_id
     """,
+    # c38/c39 are posexploded to scalar rows: the driver comparator cannot
+    # canonicalize array cells (r8 err).  DuckDB zips parallel unnests
+    # positionally, so unnest(range(len)) carries the 0-based position.
     "c39_quantize_int8": f"""
         SELECT vec_id,
                round(127.0 / {_MAXABS}, 6) AS scale,
-               list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> CAST(floor(x * (127.0 / {_MAXABS}) + 0.5) AS INT)) AS q_vec
+               CAST(unnest(range(len(embedding))) AS INT) AS pos,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * (127.0 / {_MAXABS}) + 0.5) AS INT))) AS q_val
         FROM embeddings
     """,
     "c38_l2_normalize": """
         SELECT vec_id,
-               list_transform(
+               CAST(unnest(range(len(embedding))) AS INT) AS pos,
+               unnest(list_transform(
                  CAST(embedding AS DOUBLE[]),
                  x -> round(x / sqrt(list_reduce(
                         list_prepend(CAST(0.0 AS DOUBLE),
                           list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
-                        (a, v) -> a + v)), 6)) AS unit_vec
+                        (a, v) -> a + v)), 6))) AS unit_val
         FROM embeddings
     """,
     "c3_cosine_topk": f"""

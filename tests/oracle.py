@@ -48,6 +48,27 @@ def _duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def comparator_unsafe_type(duckdb_type: str) -> bool:
+    """True if a DuckDB result-column type would crash the DRIVER's
+    canonicalizer (r8: array cells -> TypeError unhashable numpy.ndarray
+    inside its pandas sort). The repo's own compare() handles these fine —
+    this predicate guards what may be DECLARED to the driver."""
+    t = duckdb_type.upper()
+    return t.endswith("[]") or t.startswith(("LIST", "MAP", "STRUCT", "UNION"))
+
+
+def comparator_unsafe_fields(spark_schema) -> list[str]:
+    """Spark-side twin of :func:`comparator_unsafe_type`: names of top-level
+    fields whose type the driver comparator cannot canonicalize."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):

@@ -16,6 +16,7 @@ import pytest
 
 from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 from data_engineering_zoomcamp_my_test_spark.sources.tables import TABLE_NAMES
+from tests.oracle import comparator_unsafe_type
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -48,4 +49,25 @@ def test_oracle_schema_has_no_spark_unrepresentable_type(con, name):
     assert not bad, (
         f"{name} oracle emits Spark-unrepresentable column(s) {bad}; "
         f"wrap the offending aggregate in CAST(... AS BIGINT) in the oracle SQL"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE))
+def test_oracle_schema_is_comparator_safe(con, name):
+    """The driver's _canon crashes on array-typed cells (r8: c38/c39 `err`,
+    TypeError unhashable numpy.ndarray inside its pandas sort). Any decl
+    with an oracle can be driver-seated, so its projection must be scalar
+    columns only — explode arrays (posexplode + zipped DuckDB unnest, the
+    c38/c39 pattern) or emit a per-vector digest. Library functions may
+    still return arrays; this guards the DECLARED projection."""
+    rel = con.sql(_ORACLE[name])
+    bad = [
+        f"{col}:{typ}"
+        for col, typ in zip(rel.columns, rel.types)
+        if comparator_unsafe_type(str(typ))
+    ]
+    assert not bad, (
+        f"{name} oracle declares comparator-unsafe column(s) {bad}; the "
+        f"driver comparator cannot canonicalize nested cells — explode to "
+        f"scalar rows or digest (see c38_l2_normalize)"
     )

@@ -280,3 +280,39 @@ def test_boxstate_probe_shape():
     assert out["core_iters_min_M"] <= out["core_iters_max_M"]
     assert out["core_spread"] is None or out["core_spread"] >= 1.0
     assert out["single_core_Miters_per_sec"] > 0
+
+
+def test_parity_sweep_rejects_comparator_unsafe_decl(spark):
+    """VERDICT r8 #3: the seat pre-verifier must reject nested-typed output.
+
+    Round 8 shipped c38/c39 "pre-verified hash-green" while the DRIVER's
+    comparator crashed on their array cells (TypeError: unhashable
+    numpy.ndarray inside its pandas _canon) — the repo sweep list-ified
+    arrays, so its green was true but not predictive.  The guard mirrors
+    the driver's known limits: top-level ArrayType/MapType/StructType
+    columns are rejected at seat-preverify time, and this test fails on
+    exactly the decl shape that shipped broken.
+    """
+    from pyspark.sql import functions as F
+
+    from tests.oracle import comparator_unsafe_fields
+
+    # the r8 failure shape: array-valued projection
+    bad = spark.range(3).select(
+        "id",
+        F.array(F.lit(1), F.lit(2)).alias("vec"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+    )
+    assert comparator_unsafe_fields(bad.schema) == ["vec", "m"]
+
+    # the fixed shape: posexploded scalar rows pass the guard
+    ok = spark.range(3).select(
+        "id", F.posexplode(F.array(F.lit(1), F.lit(2))).alias("pos", "v")
+    )
+    assert comparator_unsafe_fields(ok.schema) == []
+
+    # and the guard is actually wired into the sweep's compare path
+    src = open(os.path.join(REPO, "tools", "parity_sweep.py")).read()
+    assert "comparator_unsafe_fields" in src, (
+        "parity_sweep must reject comparator-unsafe decls before compare"
+    )

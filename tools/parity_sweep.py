@@ -42,7 +42,7 @@ DEFAULT_SKIP = ("c17_jaccard_pairs", "c56_ngram_jaccard_pairs")
 
 
 def main() -> int:
-    from tests.oracle import compare, compare_digest
+    from tests.oracle import compare, compare_digest, comparator_unsafe_fields
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
@@ -71,7 +71,23 @@ def main() -> int:
         t0 = time.time()
         print(f"run  {n} ...", flush=True)
         try:
-            res = compare(n, queries[n](spark, args.sf_dir), oracles[n], args.sf_dir)
+            df = queries[n](spark, args.sf_dir)
+            # Mirror the DRIVER comparator's known limits: its _canon crashes
+            # on nested cells (r8: c38/c39 err, unhashable numpy.ndarray), so
+            # a sweep pass here would NOT predict a driver pass. Reject the
+            # decl outright — explode to scalar rows or digest before seating.
+            unsafe = comparator_unsafe_fields(df.schema)
+            if unsafe:
+                print(
+                    f"ERR  {n}: comparator-unsafe output column(s) {unsafe} "
+                    f"(driver _canon cannot canonicalize nested cells; "
+                    f"posexplode or digest the projection)",
+                    flush=True,
+                )
+                counts["err"] += 1
+                failures.append(n)
+                continue
+            res = compare(n, df, oracles[n], args.sf_dir)
             mode = "hash"
         except Exception as exc:
             if "maxResultSize" not in str(exc):

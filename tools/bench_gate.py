@@ -11,8 +11,13 @@ Usage:
 Exit status: 0 = every query within the gate, 1 = at least one query >2x its
 baseline (or total >2x), 2 = input could not be parsed.
 
-The baseline numbers are read from the first ```json block in BASELINE.md
-(the recorded round-1 measurement) so there is exactly one source of truth.
+The baseline numbers are read from the ```json blocks in BASELINE.md and
+matched to the bench result by METHODOLOGY and scale factor (ADVICE r8):
+bench.py v1 single-shot runs gate against the round-1 v1 block; v2
+steady-state runs (``"method": "steady_state_min_of_2_warmed"``) gate
+against the round-8 v2 block. Comparing across methods silently rescales
+the 2x gate (v2 totals read ~2x below v1 on the same engine), so a
+missing method-matched block at the bench's sf is an error, not a skip.
 """
 
 from __future__ import annotations
@@ -30,12 +35,36 @@ GATE_RATIO = 2.0
 ABS_FLOOR_SEC = 0.75
 
 
-def load_baseline() -> dict:
+# Method label for records that predate the `method` field (v1: one warm
+# single-shot run per query, first-execution JIT/plan setup included).
+V1_METHOD = "v1_single_shot"
+
+
+def load_baselines() -> list[dict]:
+    """Every bench-shaped ```json block in BASELINE.md, oldest first."""
     text = (REPO_ROOT / "BASELINE.md").read_text()
-    m = re.search(r"```json\n(.*?)```", text, re.DOTALL)
-    if not m:
-        raise SystemExit("BASELINE.md has no ```json block")
-    return json.loads(re.sub(r"\n(?!$)", " ", m.group(1)))
+    blocks = []
+    for m in re.finditer(r"```json\n(.*?)```", text, re.DOTALL):
+        obj = json.loads(re.sub(r"\n(?!$)", " ", m.group(1)))
+        if obj.get("metric") == "total_bench_wall_clock" and "queries" in obj:
+            blocks.append(obj)
+    if not blocks:
+        raise SystemExit("BASELINE.md has no bench ```json block")
+    return blocks
+
+
+def pick_baseline(bench: dict) -> dict | None:
+    """The baseline recorded under the SAME methodology and sf, or None."""
+    method = bench.get("method", V1_METHOD)
+    for b in load_baselines():
+        if b.get("method", V1_METHOD) == method and b.get("sf") == bench.get("sf"):
+            return b
+    return None
+
+
+def load_baseline() -> dict:
+    """Back-compat single-block accessor (the v1 round-1 record)."""
+    return load_baselines()[0]
 
 
 def load_bench(src: str | None) -> dict:
@@ -58,15 +87,25 @@ def load_bench(src: str | None) -> dict:
 
 
 def main() -> int:
-    baseline = load_baseline()
     bench = load_bench(sys.argv[1] if len(sys.argv) > 1 else None)
-    if bench.get("sf") != baseline.get("sf"):
+    baseline = pick_baseline(bench)
+    method = bench.get("method", V1_METHOD)
+    if baseline is None:
+        if any(b.get("sf") == bench.get("sf") for b in load_baselines()):
+            # sf is covered but not under this methodology: comparing would
+            # silently rescale the gate (ADVICE r8) — that's a setup error.
+            print(
+                f"bench_gate: no BASELINE.md block with method={method!r} at "
+                f"sf={bench.get('sf')}; record one — cross-method comparison "
+                "is not a gate."
+            )
+            return 2
         print(
-            f"bench_gate: sf mismatch (bench sf={bench.get('sf')}, "
-            f"baseline sf={baseline.get('sf')}) — gate only applies at the "
-            "baseline's scale factor; skipping."
+            f"bench_gate: no baseline at sf={bench.get('sf')} — gate only "
+            "applies at a recorded scale factor; skipping."
         )
         return 0
+    print(f"bench_gate: method={method} sf={bench.get('sf')}")
 
     failures: list[str] = []
     for name, base_sec in baseline["queries"].items():

@@ -402,20 +402,20 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing/arrival-order/watermark combination — fuzzed over 30+ random
     draws incl. reverse-time arrival in tools/fuzz_streaming.py."""
     import shutil
-    import tempfile
     import uuid
 
     from ..streaming.windows import run_streaming_tumbling_agg
+    from ..tmpdirs import ephemeral_dir
 
     ev = load_table(spark, sf_dir, "events")
-    drop_dir = tempfile.mkdtemp(prefix="c66_drops_")
+    drop_dir = ephemeral_dir("c66_drops_")
     # The final state lands in a distributed parquet sink (r8: the memory
     # sink serializes the whole state to the driver, which cannot scale —
     # c78's 95M-session state broke spark.driver.maxResultSize at sf100).
     # The sink dir must outlive this call: the returned DataFrame reads it
-    # lazily.  The consumed drops are deleted; the small sink dir stays
-    # until /tmp cleanup.
-    sink_dir = tempfile.mkdtemp(prefix="c66_state_")
+    # lazily — so it lives under the session-scoped ephemeral parent that
+    # atexit reclaims (ADVICE r8: repeated sweeps leaked unbounded /tmp).
+    sink_dir = ephemeral_dir("c66_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_tumbling_agg(
@@ -457,17 +457,18 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     which never exercised cross-batch merge) provably lossless while
     still driving the real session-merge state machine."""
     import shutil
-    import tempfile
     import uuid
 
     from ..streaming.windows import run_streaming_session_agg
+    from ..tmpdirs import ephemeral_dir
 
     ev = load_table(spark, sf_dir, "events")
-    drop_dir = tempfile.mkdtemp(prefix="c78_drops_")
+    drop_dir = ephemeral_dir("c78_drops_")
     # Distributed parquet sink (see c66): at sf100 this decl's final state
     # is 95M sessions — the memory sink broke spark.driver.maxResultSize
-    # there; with foreachBatch the state never touches the driver.
-    sink_dir = tempfile.mkdtemp(prefix="c78_state_")
+    # there; with foreachBatch the state never touches the driver. Session-
+    # scoped ephemeral dir: outlives this call, reclaimed at exit.
+    sink_dir = ephemeral_dir("c78_state_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_session_agg(
@@ -495,13 +496,13 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     and merges into prior-batch state; fuzzed exact across random
     window/slide/slicing/order/watermark draws (tools/fuzz_streaming.py)."""
     import shutil
-    import tempfile
     import uuid
 
     from ..streaming.windows import run_streaming_sliding_agg
+    from ..tmpdirs import ephemeral_dir
 
     ev = load_table(spark, sf_dir, "events")
-    drop_dir = tempfile.mkdtemp(prefix="c80_drops_")
+    drop_dir = ephemeral_dir("c80_drops_")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_sliding_agg(
@@ -509,7 +510,7 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             drop_dir,
             query_name=f"c80_out_{uuid.uuid4().hex[:8]}",
             max_files_per_trigger=1,
-            sink_dir=tempfile.mkdtemp(prefix="c80_state_"),
+            sink_dir=ephemeral_dir("c80_state_"),
         )
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)

@@ -74,3 +74,43 @@ def test_fixed_cheap_replay_matches_oracle(spark, sf_small):
     df = run_case(spark, sf_small, "tumbling", p, tag="ci")
     res = compare("sfuzz_ci", df, OPERATORS["tumbling"]["oracle"](p), sf_small)
     assert res.ok, res.mismatches
+
+
+def test_reverse_time_drops_have_deterministic_arrival_order(spark, sf_small, tmp_path):
+    """ADVICE r8: reverse_time must actually EXERCISE latest-events-first.
+
+    A single n-part write gives all part files one mtime and Spark's file
+    source orders same-mtime files arbitrarily, so the claimed coverage
+    was best-effort. The lander now stamps each slice with a strictly
+    increasing mtime; pin that the ascending-mtime listing (the source's
+    read order) walks DESCENDING event time."""
+    from pyspark.sql import functions as F
+
+    from tools.fuzz_streaming import _land_drops
+
+    drop_dir = str(tmp_path / "rt_drops")
+    _land_drops(spark, sf_small, {"n_files": 4, "order": "reverse_time"}, drop_dir)
+
+    parts = [
+        os.path.join(drop_dir, f)
+        for f in os.listdir(drop_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    assert len(parts) == 4
+    mtimes = sorted(os.path.getmtime(p) for p in parts)
+    assert len(set(mtimes)) == 4, "mtimes must be distinct"
+    assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:]))
+
+    spans = []
+    for p in sorted(parts, key=os.path.getmtime):
+        row = (
+            spark.read.parquet(p)
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .head()
+        )
+        if row["lo"] is not None:
+            spans.append((row["lo"], row["hi"]))
+    # earliest-mtime (first-read) slice holds the LATEST events; each later
+    # slice is strictly earlier in event time (range-sliced, no overlap)
+    for (lo_a, _), (_, hi_b) in zip(spans, spans[1:]):
+        assert lo_a > hi_b, "read order must walk descending event time"

@@ -353,3 +353,21 @@ def test_coverage_doc_lists_every_declared_query():
     cov = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [n for n in all_queries() if f"`{n}`" not in cov]
     assert not missing, f"COVERAGE.md lacks rows for {missing}"
+
+
+def test_ritual_box_note_survives_none_probe_fields():
+    """ADVICE r8: core_spread=None (lo==0 guard) or steal_pct=None must
+    not abort the ritual at the gate step — the note renders n/a."""
+    rr = _load("round_ritual")
+    note = rr._box_note(
+        {"steal_pct": None, "core_spread": None},
+        {"steal_pct": 2.5},
+        {"steal_pct": None},
+    )
+    assert "n/a" in note and "2.5%" in note
+    note2 = rr._box_note(
+        {"steal_pct": 1.0, "core_spread": 1.23},
+        {"steal_pct": 0.0},
+        {"steal_pct": 3.0},
+    )
+    assert "1.23x" in note2 and "None" not in note2

@@ -219,19 +219,57 @@ def gen_case(seed, i: int, ops: list[str] | None = None) -> tuple[str, dict]:
 def _land_drops(spark, sf_dir: str, p: dict, drop_dir: str) -> None:
     """Re-land events as ``n_files`` parquet drops in the chosen arrival
     order.  hash = arbitrary interleave (repartition); reverse_time =
-    range-sliced on descending ts, so part-00000 holds the LATEST events
-    and every later micro-batch reopens earlier windows/sessions."""
+    range-sliced on descending ts, so the FIRST-read slice holds the
+    LATEST events and every later micro-batch reopens earlier windows/
+    sessions.
+
+    reverse_time lands the slices SEQUENTIALLY with strictly increasing,
+    explicitly stamped mtimes (ADVICE r8): a single n-part write gives
+    every part file one mtime, and Spark's file source orders same-mtime
+    files arbitrarily — the exact nondeterminism that first misread the
+    session-watermark finding (BASELINE.md).  With distinct mtimes the
+    source's ascending-mtime listing replays latest-events-first
+    deterministically instead of best-effort."""
+    import os
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
     n = p["n_files"]
-    if p["order"] == "reverse_time":
-        sliced = ev.repartitionByRange(n, F.desc("ts"), F.desc("event_id"))
-    else:
-        sliced = ev.repartition(n)
-    sliced.write.mode("overwrite").parquet(drop_dir)
+    if p["order"] != "reverse_time":
+        ev.repartition(n).write.mode("overwrite").parquet(drop_dir)
+        return
+
+    sliced = (
+        ev.repartitionByRange(n, F.desc("ts"), F.desc("event_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sliced.count()
+        # Stamp each slice 2s apart, ending "now": strictly increasing and
+        # filesystem-granularity-proof without sleeping between writes.
+        base = _time.time() - 2.0 * n
+        stamped: set[str] = set()
+        for i in range(n):
+            (
+                sliced.filter(F.col("_pid") == i)
+                .drop("_pid")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(drop_dir)
+            )
+            t = base + 2.0 * i
+            for name in os.listdir(drop_dir):
+                path = os.path.join(drop_dir, name)
+                if path not in stamped and os.path.isfile(path):
+                    os.utime(path, (t, t))
+                    stamped.add(path)
+    finally:
+        sliced.unpersist()
 
 
 def _run_attribution(spark, drop_dir: str, p: dict, tag: str):

@@ -58,6 +58,26 @@ def _run_json(cmd: list[str], marker: str = '"queries"') -> dict:
     )
 
 
+def _box_note(box_before: dict, box_after: dict, bench: dict) -> str:
+    """Contention evidence line for the gate step.
+
+    ADVICE r8: boxstate.probe() returns core_spread=None when the slowest
+    core measured 0 iters, and bench steal_pct can be None — formatting
+    either with :.1f/:.2f would TypeError and abort the ritual at the
+    gate step. Absent probes render as n/a instead of crashing."""
+
+    def _pct(v) -> str:
+        return f"{v:.1f}%" if isinstance(v, (int, float)) else "n/a"
+
+    spread = box_before.get("core_spread")
+    return (
+        f" (box: steal {_pct(box_before.get('steal_pct'))}->"
+        f"{_pct(box_after.get('steal_pct'))}, in-run "
+        f"{_pct(bench.get('steal_pct'))}, core spread "
+        + (f"{spread:.2f}x)" if isinstance(spread, (int, float)) else "n/a)")
+    )
+
+
 def _gate(src_path: str | None, stdin_payload: str | None = None) -> bool:
     cmd = [sys.executable, "tools/bench_gate.py"]
     if src_path:
@@ -129,12 +149,7 @@ def main() -> int:
     box_after = _run_json([sys.executable, "tools/boxstate.py"], marker='"boxstate"')
 
     print("\n== ritual step 2/4: bench gate ==", flush=True)
-    box_note = (
-        f" (box: steal {box_before['steal_pct']:.1f}%->"
-        f"{box_after['steal_pct']:.1f}%, in-run "
-        f"{bench.get('steal_pct', 'n/a')}%, core spread "
-        f"{box_before['core_spread']:.2f}x)"
-    )
+    box_note = _box_note(box_before, box_after, bench)
     if _gate(None, stdin_payload=json.dumps(bench)):
         lines.append(
             f"local bench {bench['value']:.2f}s @ sf{bench['sf']}: gate PASS"

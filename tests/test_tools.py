@@ -371,3 +371,49 @@ def test_ritual_box_note_survives_none_probe_fields():
         {"steal_pct": 3.0},
     )
     assert "1.23x" in note2 and "None" not in note2
+
+
+def test_lsh_pairs_check_moments_match_brute_force():
+    """tools/lsh_pairs_check.py layer 2: the analytic no-enumeration
+    moment computation (rank-weighted intra sums, S_A*S_B cross
+    factorization) must equal brute-force pair enumeration for random
+    copy-group/rep-pair configurations — this is what makes the sf100
+    2.75B-pair exactness claim checkable without materializing pairs."""
+    import random
+
+    lpc = _load("lsh_pairs_check")
+    rng = random.Random(99)
+    for _ in range(10):
+        ids = list(range(1, 120))
+        rng.shuffle(ids)
+        groups, i = [], 0
+        while i < len(ids):
+            g = rng.randint(1, 5)
+            groups.append((f"t{len(groups)}", sorted(ids[i : i + g])))
+            i += g
+        by_rep = {g[1][0]: g[1] for g in groups}
+        reps = sorted(by_rep)
+        rep_pairs = set()
+        for _ in range(rng.randint(0, 6)):
+            a, b = rng.sample(reps, 2)
+            rep_pairs.add((min(a, b), max(a, b)))
+        pairs = set()
+        for _, g in groups:
+            for x in range(len(g)):
+                for y in range(x + 1, len(g)):
+                    pairs.add((g[x], g[y]))
+        for ra, rb in rep_pairs:
+            for a in by_rep[ra]:
+                for b in by_rep[rb]:
+                    pairs.add((min(a, b), max(a, b)))
+        bf = {
+            "n_pairs": len(pairs),
+            "sum_a": sum(a for a, b in pairs),
+            "sum_b": sum(b for a, b in pairs),
+            "sum_aa": sum(a * a for a, b in pairs),
+            "sum_bb": sum(b * b for a, b in pairs),
+            "sum_ab": sum(a * b for a, b in pairs),
+            "min_a": min((a for a, b in pairs), default=None),
+            "max_b": max((b for a, b in pairs), default=None),
+        }
+        assert lpc._ref_moments(groups, rep_pairs) == bf

@@ -115,13 +115,24 @@ def main() -> None:
         spark.read.parquet(f"{args.src}/{table}.parquet").write.mode("overwrite").parquet(
             f"{args.dst}/{table}.parquet"
         )
+    cpus = spark.sparkContext.defaultParallelism
     for table, cols in _SHIFT_COLS.items():
         if wanted is not None and table not in wanted:
             continue
         df = spark.read.parquet(f"{args.src}/{table}.parquet")
-        _replicate(df, cols, strides, args.copies).write.mode("overwrite").parquet(
-            f"{args.dst}/{table}.parquet"
-        )
+        out = _replicate(df, cols, strides, args.copies)
+        # A single-partition source flows through _replicate's unions as a
+        # handful of partitions and lands as ONE parquet file with ONE row
+        # group — which Spark can then only scan with ONE task, serializing
+        # every downstream stage at the generated decade no matter how many
+        # executors exist (found at sf100: documents/embeddings were
+        # mono-row-group, so the gram/text family ran ~single-threaded
+        # until its first shuffle). Snappy-parquet compresses the text
+        # tables ~10x, so size-based heuristics under-provision; target the
+        # session's parallelism directly.
+        if out.rdd.getNumPartitions() < cpus:
+            out = out.repartition(cpus)
+        out.write.mode("overwrite").parquet(f"{args.dst}/{table}.parquet")
         print(f"{table}: x{args.copies}", file=sys.stderr)
     spark.stop()
 

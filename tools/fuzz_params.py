@@ -576,6 +576,185 @@ def _negsamp_oracle(p: dict) -> str:
     """
 
 
+def _mixture_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import mixture_weights
+
+    return mixture_weights(
+        load_table(spark, sf_dir, "documents"),
+        alpha=p["alpha"],
+        doc_budget=p["doc_budget"],
+    )
+
+
+def _mixture_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c60_mixture_weights"]
+    return f"""
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        sc AS (
+          SELECT source, n_docs, n_tokens,
+                 pow(CAST(n_tokens AS DOUBLE), {p["alpha"]}) AS wraw,
+                 SUM(pow(CAST(n_tokens AS DOUBLE), {p["alpha"]})) OVER () AS wsum,
+                 SUM(CAST(n_tokens AS DOUBLE)) OVER () AS toksum
+          FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(wraw / wsum, 6) AS mix_weight,
+               ROUND((wraw / wsum) / (n_tokens / toksum), 6) AS oversample,
+               CAST(ROUND(ROUND(wraw / wsum, 6) * {p["doc_budget"]}, 0) AS BIGINT)
+                 AS target_docs
+        FROM sc
+    """
+
+
+def _oov_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import oov_rate
+
+    return oov_rate(load_table(spark, sf_dir, "documents"), vocab_size=p["vocab_size"])
+
+
+def _oov_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c68_oov_rate"]; the vocab LIMIT
+    # boundary is a total order (count desc, token asc), so any size is
+    # deterministic in both engines.
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, tok LIMIT {p["vocab_size"]}
+          )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+    """
+
+
+def _psi_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import length_drift_psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_drift_psi(
+        docs.filter(F.col("source") == "src1"),
+        docs.filter(F.col("source") == "src2"),
+        n_buckets=p["n_buckets"],
+        bucket_width=p["bucket_width"],
+    )
+
+
+def _psi_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c70_length_drift_psi"]
+    cap = p["n_buckets"] - 1
+    w = p["bucket_width"]
+    return f"""
+        WITH a AS (
+          SELECT LEAST(CAST(FLOOR(len(string_split(text, ' ')) / {w}) AS INT), {cap})
+                   AS bucket, COUNT(*) AS n_a
+          FROM documents WHERE source = 'src1' GROUP BY 1
+        ),
+        b AS (
+          SELECT LEAST(CAST(FLOOR(len(string_split(text, ' ')) / {w}) AS INT), {cap})
+                   AS bucket, COUNT(*) AS n_b
+          FROM documents WHERE source = 'src2' GROUP BY 1
+        ),
+        cells AS (
+          SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM a FULL JOIN b ON a.bucket = b.bucket
+        ),
+        shares AS (
+          SELECT bucket, n_a, n_b,
+                 CAST(n_a AS DOUBLE) / SUM(n_a) OVER () + 1e-6 AS p_a,
+                 CAST(n_b AS DOUBLE) / SUM(n_b) OVER () + 1e-6 AS p_b
+          FROM cells
+        )
+        SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_contrib
+        FROM shares
+    """
+
+
+def _feat_hash_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import feature_hashing
+
+    return feature_hashing(load_table(spark, sf_dir, "documents"), dim=p["dim"])
+
+
+def _feat_hash_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c71_feature_hashing"].  Spark's
+    # sign bit truncates fp/dim via double division; exact for fp < 2^30
+    # because the nearest integer boundary is >= 1/dim away while division
+    # error is ~2^-23 of the quotient.
+    from data_engineering_zoomcamp_my_test_spark.operators.text import _FP_MOD
+
+    d = p["dim"]
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(tok, ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
+          FROM toks WHERE tok <> ''
+        )
+        SELECT doc_id, CAST(fp % {d} AS INT) AS dim,
+               CAST(SUM(CASE WHEN (fp // {d}) % 2 = 0 THEN 1 ELSE -1 END)
+                 AS DOUBLE) AS value
+        FROM hashed GROUP BY 1, 2
+    """
+
+
+def _bigram_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import bigram_stats
+
+    return bigram_stats(load_table(spark, sf_dir, "documents"), top_heads=p["top_heads"])
+
+
+def _bigram_oracle(p: dict) -> str:
+    # template of operators/text.py ORACLE["c65_bigram_stats"]; the LIMIT
+    # boundary order (n_total DESC, w1) is total because w1 is unique per row.
+    return f"""
+        WITH t AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)
+        ),
+        cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        agg AS (
+          SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_cont,
+                 CAST(SUM(c) AS BIGINT) AS n_total
+          FROM cnt GROUP BY 1
+        ),
+        top AS (
+          SELECT w1, w2, c, ROW_NUMBER() OVER (
+            PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+          FROM cnt
+        )
+        SELECT agg.w1, n_cont, n_total, top.w2 AS top_w2,
+               ROUND(CAST(top.c AS DOUBLE) / n_total, 6) AS top_prob
+        FROM agg JOIN top ON agg.w1 = top.w1 AND top.rn = 1
+        ORDER BY n_total DESC, agg.w1 LIMIT {p["top_heads"]}
+    """
+
+
 def _dup_spans_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
     from data_engineering_zoomcamp_my_test_spark.operators.dedup import dup_spans
 
@@ -761,6 +940,48 @@ OPERATORS: dict[str, dict] = {
         "gen": lambda rng: {"k": rng.choice([2, 3, 5, 8, 12])},
         "spark": _dup_spans_spark,
         "oracle": _dup_spans_oracle,
+    },
+    "mixture_weights": {
+        # alpha=0 gives uniform weights (pow(n,0)=1); alpha=1 collapses
+        # oversample to exactly 1.0; budgets below 10^6 make the rounded
+        # target_docs land on .5 ties (the ROUND-portability boundary)
+        "gen": lambda rng: {
+            "alpha": rng.choice([0.0, 0.3, 0.5, 0.7, 0.9, 1.0]),
+            "doc_budget": rng.choice([1, 100, 1000, 100_000, 10_000_000]),
+        },
+        "spark": _mixture_spark,
+        "oracle": _mixture_oracle,
+    },
+    "oov_rate": {
+        # the synthetic corpus draws from a ~31-word pool: 1 leaves nearly
+        # everything OOV, 100 swallows the whole pool (zero-OOV edge)
+        "gen": lambda rng: {"vocab_size": rng.choice([1, 5, 10, 20, 31, 100])},
+        "spark": _oov_spark,
+        "oracle": _oov_oracle,
+    },
+    "length_drift_psi": {
+        # n_buckets=1 collapses everything to bucket 0 (psi ~ 0);
+        # width=1 spreads across the cap so the tail bucket saturates
+        "gen": lambda rng: {
+            "n_buckets": rng.choice([1, 2, 5, 10, 20]),
+            "bucket_width": rng.choice([1, 5, 20, 50, 200]),
+        },
+        "spark": _psi_spark,
+        "oracle": _psi_oracle,
+    },
+    "feature_hashing": {
+        # dim=1 folds every token into slot 0 (pure sign-sum); primes and
+        # non-powers-of-2 exercise both residue classes and the sign bit
+        "gen": lambda rng: {"dim": rng.choice([1, 2, 3, 16, 64, 257])},
+        "spark": _feat_hash_spark,
+        "oracle": _feat_hash_oracle,
+    },
+    "bigram_stats": {
+        # top_heads=1 is the argmax-of-argmax edge; 1000 exceeds the head
+        # space so the LIMIT goes non-binding
+        "gen": lambda rng: {"top_heads": rng.choice([1, 5, 50, 200, 1000])},
+        "spark": _bigram_spark,
+        "oracle": _bigram_oracle,
     },
 }
 

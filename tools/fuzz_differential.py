@@ -811,6 +811,31 @@ def gen_in_subquery(rng: random.Random, pools: dict) -> str:
     return f"SELECT {', '.join(cols)} FROM {fact} WHERE {fk} {neg} {sub}{outer}"
 
 
+def gen_distinct(rng: random.Random, pools: dict) -> str:
+    """SELECT DISTINCT over int/str expressions — multiset-to-SET collapse
+    is a semantics class no other shape exercises (project keeps
+    multiplicity, agg groups explicitly).  Doubles are excluded: DISTINCT
+    over floats hits NaN/-0.0 multiset gray zones; int/str/timestamp
+    equality is total and identical in both engines.  NULLs flow through
+    (both engines treat NULL as one distinct value, per the standard)."""
+    t = rng.choice(_tables(pools))
+    g = Gen(rng, t, pools)
+    n = rng.randrange(1, 4)
+    exprs = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.5:
+            exprs.append(f"{g.int_expr(1)} AS c{i}")
+        elif r < 0.85 and g.t["str"]:
+            exprs.append(f"{g.str_expr(1)} AS c{i}")
+        elif g.t["ts"]:
+            exprs.append(f"{rng.choice(g.t['ts'])} AS c{i}")
+        else:
+            exprs.append(f"{g.int_expr(1)} AS c{i}")
+    where = f" WHERE {g.pred()}" if rng.random() < 0.5 else ""
+    return f"SELECT DISTINCT {', '.join(exprs)} FROM {t}{where}"
+
+
 SHAPES = {
     "project": gen_project,
     "agg": gen_agg,
@@ -827,6 +852,7 @@ SHAPES = {
     "in_subquery": gen_in_subquery,
     "frame_window": gen_frame_window,
     "join_chain": gen_join_chain,
+    "distinct": gen_distinct,
 }
 
 

@@ -52,6 +52,22 @@ def test_lossy_families_stay_inside_exactness_domain():
         assert single_batch or p["watermark"] in SESSION_SAFE_WATERMARKS, (i, p)
 
 
+def test_dedup_draws_always_carry_full_span_watermark():
+    """Redelivered copies of early events arrive in LATER micro-batches by
+    construction (stamped mtimes), so a tight watermark would late-drop
+    them in append mode; every dedup draw must use a span-covering
+    watermark — there is no single-batch escape for this op."""
+    seen = 0
+    for i in range(400):
+        name, p = gen_case(SEED, i)
+        if name != "dedup":
+            continue
+        seen += 1
+        assert p["watermark"] in SESSION_SAFE_WATERMARKS, (i, p)
+        assert p["dup_factor"] in (2, 3), (i, p)
+    assert seen > 0
+
+
 def test_sliding_slide_never_exceeds_window():
     for i in range(400):
         name, p = gen_case(SEED, i)

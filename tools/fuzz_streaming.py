@@ -44,6 +44,13 @@ campaign is what measured the boundary (r8):
   a constructed two-batch case: 1-hour watermark loses the match, big
   watermark recovers it).  Attribution draws use the same safe domain
   as session.
+- **at-least-once redelivery dedup**: every drop file is redelivered
+  ``dup_factor`` times with strictly later mtimes (so copies land in
+  LATER micro-batches and must hit keyed state, not intra-batch dedup);
+  ``dropDuplicatesWithinWatermark`` must reduce the stream back to the
+  base corpus row-for-row.  Full-span watermarks only — a tight
+  watermark late-drops redelivered copies of old events in append mode,
+  the same late-input filter as session.
 
 Every case derives from ``random.Random(f"{seed}:{i}")``:
 
@@ -100,6 +107,12 @@ def _gen_session(rng: random.Random) -> dict:
 
 def _gen_attribution(rng: random.Random) -> dict:
     return {"attr_minutes": rng.choice([5, 10, 17, 30, 45, 61, 120])}
+
+
+def _gen_dedup(rng: random.Random) -> dict:
+    # dup_factor = how many times every drop file is redelivered (the
+    # at-least-once source contract: Kafka redelivery, file re-drops)
+    return {"dup_factor": rng.choice([2, 3])}
 
 
 def _oracle_tumbling(p: dict) -> str:
@@ -179,11 +192,26 @@ def _oracle_attribution(p: dict) -> str:
     """
 
 
+def _oracle_dedup(p: dict) -> str:
+    # The dedup target IS the base corpus: every drop file is redelivered
+    # dup_factor times with identical rows, and dropDuplicatesWithinWatermark
+    # must emit each event_id exactly once whichever arrival wins (copies
+    # are bit-identical, so "which arrival" is unobservable).  value is
+    # compared at the money grain both sides (2dp decimal -> double).
+    return """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_2dp,
+               props
+        FROM events
+    """
+
+
 OPERATORS: dict[str, dict] = {
     "tumbling": {"gen": _gen_tumbling, "oracle": _oracle_tumbling},
     "sliding": {"gen": _gen_sliding, "oracle": _oracle_sliding},
     "session": {"gen": _gen_session, "oracle": _oracle_session},
     "attribution": {"gen": _gen_attribution, "oracle": _oracle_attribution},
+    "dedup": {"gen": _gen_dedup, "oracle": _oracle_dedup},
 }
 
 
@@ -198,6 +226,12 @@ def gen_case(seed, i: int, ops: list[str] | None = None) -> tuple[str, dict]:
     params["max_files_per_trigger"] = rng.choice(TRIGGER_POOL)
     params["order"] = rng.choice(ORDER_POOL)
     params["watermark"] = rng.choice(WATERMARK_POOL)
+    if name == "dedup":
+        # Exactness domain: a watermark covering the full event span keeps
+        # redelivered copies of early events from being late-dropped in
+        # append mode — the multi-batch redelivery path is the point of
+        # the op, so (unlike session) the single-batch escape is not used.
+        params["watermark"] = rng.choice(SESSION_SAFE_WATERMARKS)
     if name in ("session", "attribution"):
         # stay inside the measured exactness domain (module docstring):
         # single batch with any watermark, or multi-batch with a
@@ -307,6 +341,58 @@ def _run_attribution(spark, drop_dir: str, p: dict, tag: str):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
+    """At-least-once redelivery: copy every landed drop file
+    ``dup_factor - 1`` more times with strictly LATER mtimes, so the
+    ascending-mtime file listing delivers the redeliveries in later
+    micro-batches (the state-crossing case, not just intra-batch dedup),
+    then assert ``dropDuplicatesWithinWatermark`` reduces the stream back
+    to the base corpus."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_dedup,
+    )
+
+    base_files = sorted(
+        f for f in os.listdir(drop_dir) if f.endswith(".parquet")
+    )
+    now = _time.time()
+    for r in range(1, p["dup_factor"]):
+        for fname in base_files:
+            dst = os.path.join(drop_dir, f"redeliver_{r}_{fname}")
+            shutil.copyfile(os.path.join(drop_dir, fname), dst)
+            t = now + 2.0 * r
+            os.utime(dst, (t, t))
+    ckpt = tempfile.mkdtemp(prefix=f"sfuzz_ckpt_{tag}_")
+    try:
+        q = run_streaming_dedup(
+            spark,
+            drop_dir,
+            ckpt,
+            query_name=f"sfuzz_{tag}",
+            key_cols=("event_id",),
+            watermark=p["watermark"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(f"sfuzz_{tag}").select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").cast("double").alias("value_2dp"),
+            "props",
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
     from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
         run_streaming_session_agg,
@@ -336,6 +422,8 @@ def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
             )
         elif name == "attribution":
             df = _run_attribution(spark, drop_dir, p, tag)
+        elif name == "dedup":
+            df = _run_dedup(spark, drop_dir, p, tag)
         else:
             df = run_streaming_session_agg(
                 spark, drop_dir, gap=f"{p['gap_minutes']} minutes", **common

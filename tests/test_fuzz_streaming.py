@@ -92,6 +92,25 @@ def test_fixed_cheap_replay_matches_oracle(spark, sf_small):
     assert res.ok, res.mismatches
 
 
+def test_fixed_cheap_dedup_replay_matches_oracle(spark, sf_small):
+    """One deterministic redelivery-dedup replay through the full fuzzer
+    path: 2 drop files each delivered twice (the copies stamped with later
+    mtimes so they land in LATER micro-batches), and the streamed
+    dropDuplicatesWithinWatermark output must equal the base corpus."""
+    from tests.oracle import compare
+
+    p = {
+        "dup_factor": 2,
+        "n_files": 2,
+        "max_files_per_trigger": 1,  # four genuine micro-batches
+        "order": "hash",
+        "watermark": SESSION_SAFE_WATERMARKS[0],
+    }
+    df = run_case(spark, sf_small, "dedup", p, tag="ci_dedup")
+    res = compare("sfuzz_ci_dedup", df, OPERATORS["dedup"]["oracle"](p), sf_small)
+    assert res.ok, res.mismatches
+
+
 def test_reverse_time_drops_have_deterministic_arrival_order(spark, sf_small, tmp_path):
     """ADVICE r8: reverse_time must actually EXERCISE latest-events-first.
 

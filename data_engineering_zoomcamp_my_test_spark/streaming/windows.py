@@ -278,6 +278,7 @@ def run_streaming_dedup(
     query_name: str = "dedup_out",
     key_cols: tuple[str, ...] = ("event_id",),
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming ingest deduplication — the stream-side twin of the batch
     dedup family (c1/c29): ``dropDuplicatesWithinWatermark`` keeps one row
@@ -285,8 +286,17 @@ def run_streaming_dedup(
     so replayed/at-least-once sources (Kafka redeliveries, file re-drops)
     don't double-count, while state stays bounded by the watermark (the
     unbounded-state failure of plain ``dropDuplicates`` on streams).
-    Returns the started query writing append-mode to a memory sink."""
-    stream = spark.readStream.schema(EVENTS_DDL).parquet(source_path)
+    Returns the started query writing append-mode to a memory sink.
+
+    ``max_files_per_trigger`` caps files per micro-batch so a replay whose
+    files all pre-exist still splits into MULTIPLE batches — without it the
+    whole replay collapses into one batch and only intra-batch dedup is
+    exercised, never the keyed-state path that carries seen-keys across
+    batches (the case redelivery testing actually cares about)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
     deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

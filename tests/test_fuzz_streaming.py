@@ -102,13 +102,20 @@ def test_fixed_cheap_dedup_replay_matches_oracle(spark, sf_small):
     p = {
         "dup_factor": 2,
         "n_files": 2,
-        "max_files_per_trigger": 1,  # four genuine micro-batches
+        "max_files_per_trigger": 1,  # 4 files -> four genuine micro-batches
         "order": "hash",
         "watermark": SESSION_SAFE_WATERMARKS[0],
     }
     df = run_case(spark, sf_small, "dedup", p, tag="ci_dedup")
     res = compare("sfuzz_ci_dedup", df, OPERATORS["dedup"]["oracle"](p), sf_small)
     assert res.ok, res.mismatches
+    # ADVICE r9: the replay must actually CROSS batches — redelivered copies
+    # arriving in a later micro-batch than their originals is the keyed-state
+    # path this op exists to test. 2 base + 2 redelivered files at
+    # maxFilesPerTrigger=1 must run as (at least) 4 batches, not 1.
+    from tools.fuzz_streaming import LAST_BATCH_COUNTS
+
+    assert LAST_BATCH_COUNTS["ci_dedup"] >= 4, LAST_BATCH_COUNTS
 
 
 def test_reverse_time_drops_have_deterministic_arrival_order(spark, sf_small, tmp_path):

@@ -217,6 +217,12 @@ OPERATORS: dict[str, dict] = {
 
 SESSION_SAFE_WATERMARKS = ["35 days", "60 days"]
 
+# tag -> number of micro-batches the last replay for that tag actually ran
+# (len(q.recentProgress) after processAllAvailable). Lets tests PIN that a
+# max_files_per_trigger draw produced a genuinely multi-batch replay instead
+# of collapsing into one batch (ADVICE r9: the dedup path silently did).
+LAST_BATCH_COUNTS: dict[str, int] = {}
+
 
 def gen_case(seed, i: int, ops: list[str] | None = None) -> tuple[str, dict]:
     rng = random.Random(f"{seed}:{i}")
@@ -376,9 +382,11 @@ def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
             query_name=f"sfuzz_{tag}",
             key_cols=("event_id",),
             watermark=p["watermark"],
+            max_files_per_trigger=p["max_files_per_trigger"],
         )
         try:
             q.processAllAvailable()
+            LAST_BATCH_COUNTS[tag] = len(q.recentProgress)
         finally:
             q.stop()
         return spark.table(f"sfuzz_{tag}").select(

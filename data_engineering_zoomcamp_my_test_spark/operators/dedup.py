@@ -620,17 +620,35 @@ def _jaccard_pairs_prefix(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """64-bit SimHash per document: per-token 64-bit hashes (JVM xxhash64),
     bit-majority vote across tokens, reassembled into one BIGINT.
 
     Pure expression work — explode + one partial-aggregated groupBy over
     codegen'd per-bit vote sums. (A zero-shuffle per-row higher-order-fold
     variant was measured and rejected: nested lambda interpretation is ~2
-    orders of magnitude slower than the code-generated aggregate.)"""
+    orders of magnitude slower than the code-generated aggregate.)
+
+    ``portable=True`` swaps xxhash64 for a 60-bit md5-derived token hash
+    (first 15 hex chars parsed base-16) that DuckDB reproduces bit-for-bit
+    with ``md5`` + hex arithmetic — the engine-portable twin that lets the
+    driver hash-check SimHash moments exactly (c84). Requires
+    ``bits <= 60``; the production path stays xxhash64 (one JVM op per
+    token vs md5's full digest)."""
+    if portable:
+        if bits > 60:
+            raise ValueError(f"portable simhash supports <=60 bits, got {bits}")
+        hash_expr = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        hash_expr = F.xxhash64("tok")
     toks = docs.select(
         "doc_id", F.explode(F.split(text_col, " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_expr)
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -690,12 +708,14 @@ def simhash_near_pairs(
 
 
 def _simhash_band_pairs(
-    sh: DataFrame, max_hamming: int, n_bands: int
+    sh: DataFrame, max_hamming: int, n_bands: int, bits: int = 64
 ) -> DataFrame:
     """Banded candidate join + exact Hamming verify over a precomputed
     (doc_id, simhash) frame. Separated so the pigeonhole guarantee is
     testable on constructed bit patterns."""
-    width = 64 // n_bands
+    if bits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide bits={bits}")
+    width = bits // n_bands
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -1121,6 +1141,65 @@ def c28_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def simhash_moments(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Exact SimHash near-dup MOMENTS — pair count per Hamming distance
+    0..``max_hamming`` — computed with the engine-portable md5 token hash
+    (``simhash(portable=True)``) so the whole thing is DuckDB-checkable
+    bit-for-bit: the c57 pattern applied to c28, promoting the SimHash
+    family from rows-only to a driver-exact histogram.
+
+    Same count decomposition as c57: identical texts have identical
+    fingerprints, so exact-copy groups contribute ``sz*(sz-1)/2`` pairs at
+    distance 0 arithmetically, and the banded pair search (pigeonhole-
+    exact, ``_simhash_band_pairs``) runs on one representative per
+    distinct text — nothing quadratic in the copy ratio. Output is the
+    FULL support (one row per distance, zero-filled), never empty, so a
+    no-near-dup corpus still yields a checkable 4-row histogram."""
+    base = docs.filter(F.col("text").isNotNull())
+    groups = base.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")
+    )
+    sh = simhash(groups, bits=bits, portable=True)
+    rep_pairs = _simhash_band_pairs(sh, max_hamming, n_bands, bits=bits)
+    szs = groups.select("doc_id", "sz")
+    cross = (
+        rep_pairs.join(
+            szs.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a")),
+            "doc_id_a",
+        )
+        .join(
+            szs.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b")),
+            "doc_id_b",
+        )
+        .select("hamming", (F.col("sz_a") * F.col("sz_b")).alias("n"))
+    )
+    intra = groups.agg(
+        F.coalesce(F.sum(F.expr("sz * (sz - 1) DIV 2")), F.lit(0)).alias("n")
+    ).select(F.lit(0).alias("hamming"), "n")
+    spark = docs.sparkSession
+    support = spark.range(max_hamming + 1).select(
+        F.col("id").cast("int").alias("hamming")
+    )
+    counts = cross.unionByName(intra).groupBy("hamming").agg(F.sum("n").alias("n"))
+    return (
+        support.join(counts, "hamming", "left")
+        .select(
+            "hamming",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def c84_simhash_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-exact SimHash moments over the documents table (radius 3)."""
+    return simhash_moments(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
 _SHINGLE_SET_EXPR = (
     "array_distinct(transform("
     "sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
@@ -1373,6 +1452,7 @@ QUERIES = {
     "c17_jaccard_pairs": c17_jaccard_pairs,
     "c27_simhash": c27_simhash,
     "c28_simhash_pairs": c28_simhash_pairs,
+    "c84_simhash_moments": c84_simhash_moments,
     "c29_incremental_dedup": c29_incremental_dedup,
     "c33_minhash_jvm": c33_minhash_jvm,
     "c36_dedup_clusters": c36_dedup_clusters,
@@ -1656,6 +1736,69 @@ ORACLE = {
         )
         SELECT CAST((SELECT n FROM intra) + (SELECT n FROM cross_n) AS BIGINT)
                AS n_pairs
+    """,
+    # c84: the oracle mirrors the portable 60-bit md5 simhash exactly —
+    # hex-parse md5's first 15 chars with integer shift arithmetic (no
+    # double powers: 16**i is lossy past 2^53), per-bit majority vote,
+    # fingerprint reassembled as BIGINT (CAST dodges HUGEINT, which the
+    # comparator rejects by guard), then brute-force rep pairs + copy-
+    # group arithmetic. Brute force is fine HERE (oracle runs at sf0.01,
+    # ~500 distinct texts); the Spark side stays banded for scale.
+    "c84_simhash_moments": """
+        WITH groups AS (
+          SELECT text, COUNT(*) AS sz
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY text
+        ),
+        toks AS (
+          SELECT text, unnest(string_split(text, ' ')) AS tok FROM groups
+        ),
+        th AS (
+          SELECT text,
+                 CAST(list_sum(list_transform(range(15), i ->
+                   CAST(strpos('0123456789abcdef',
+                               substr(md5(tok), CAST(i + 1 AS INT), 1)) - 1
+                        AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INT))))
+                 AS BIGINT) AS h
+          FROM toks
+        ),
+        votes AS (
+          SELECT text, b,
+                 SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+          GROUP BY text, b
+        ),
+        fp AS (
+          SELECT text,
+                 CAST(SUM(CASE WHEN v > 0
+                               THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                               ELSE 0 END) AS BIGINT) AS f
+          FROM votes GROUP BY text
+        ),
+        cross_pairs AS (
+          SELECT bit_count(xor(a.f, b.f)) AS hamming,
+                 CAST(ga.sz AS BIGINT) * gb.sz AS n
+          FROM fp a JOIN fp b ON a.text < b.text
+          JOIN groups ga ON ga.text = a.text
+          JOIN groups gb ON gb.text = b.text
+          WHERE bit_count(xor(a.f, b.f)) <= 3
+        ),
+        intra AS (
+          SELECT 0 AS hamming,
+                 CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n
+          FROM groups
+        ),
+        counts AS (
+          SELECT hamming, SUM(n) AS n
+          FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra)
+          GROUP BY hamming
+        )
+        SELECT CAST(s.hamming AS INT) AS hamming,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
+        FROM (SELECT unnest(range(4)) AS hamming) s
+        LEFT JOIN counts c ON c.hamming = s.hamming
     """,
     "c62_dup_spans": _DUP_SPANS_SQL,
     "c63_cut_dup_spans": f"""

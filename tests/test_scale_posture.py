@@ -201,17 +201,16 @@ def test_driver_window_contains_all_mandated_decls():
     out in round 4 to widen the rotation window — their mandated twins
     (c3/c9/c10/b9_join_anti) remain pinned."""
     names = list(all_queries())[:50]
-    # Round 9: the r8 swap (b12/b13/b15/b22/b24/b25) is honored — those
-    # six returned to the pins — and the widening repeats with a third
-    # distinct batch (8 pins this time: the mandated 13-decl drain batch
-    # PLUS the c38/c39 re-seats need 15 seats).  Each is driver-green
-    # every seated round incl. r8 with untouched operator code; they stay
-    # hash-green in the repo's sf0.01/sf0.1 parity layers
-    # (test_oracle_parity.py runs them) and return to the pins in
-    # round 10.
+    # Round 10: the r9 swap (b11/b17/b19/b20/b21/b23/b26/b27) is honored —
+    # those eight returned to the pins — and the widening repeats with a
+    # FOURTH distinct batch so the ENTIRE never-driver-checked backlog
+    # (5 exact + 5 rows-only holdouts + the new c84) drains in one round.
+    # Each swapped pin is driver-green every seated round incl. r9 with
+    # untouched operator code; they stay hash-green in the repo's
+    # sf0.01/sf0.1 parity layers (test_oracle_parity.py runs them) and
+    # return to the pins in round 11.
     swapped_out = {
-        "b11_cross", "b17_sort", "b19_setops", "b20_case",
-        "b21_string_fns", "b23_math_fns", "b26_cte", "b27_having",
+        "b10_join_range", "b14_win_rank", "b16_win_frame", "b28_array_fns",
     }
     mandated = [
         "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
@@ -227,17 +226,24 @@ def test_driver_window_contains_all_mandated_decls():
             assert any(n.startswith(m) for n in names), f"missing {m}* in window"
         else:
             assert m in names, f"{m} fell out of the driver's 50-query window"
-    # Rotation seats must be decls with exact oracles that have never had a
-    # GREEN driver correctness row (window position would be wasted
-    # otherwise) — c38/c39 re-seat after their r8 `err` rows (driver
-    # comparator crash on array cells, not wrong answers; projections now
-    # posexploded to scalar rows).
+    # Rotation seats must be decls that have never had a driver
+    # correctness row (window position would be wasted otherwise). The
+    # five rows-only holdouts (approximate ops — no SQL-expressible
+    # oracle BY DESIGN; each bounded by a recall/tolerance property
+    # test) get the driver's rows-only check, so they are exempt from
+    # the exact-oracle requirement but must still be registered.
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    seats = names[35:]
-    assert len(seats) == 15
+    rows_only_seats = {
+        "c19_ivf_knn", "c45_lsh_knn_batch", "c48_lsh_embed_neardup",
+        "c53_approx_percentiles", "c54_stratified_sample",
+    }
+    seats = names[39:]
+    assert len(seats) == 11
     oracles = all_oracle_sql()
     for s in seats:
+        if s in rows_only_seats:
+            continue
         assert s in oracles, f"rotation seat {s} has no exact oracle"
     # the swapped-out pins must still be registered and oracle-bearing
     registry = set(all_queries())

@@ -41,6 +41,11 @@ def test_sweep_snapshot_committed_and_covers_catalog():
 def test_ritual_diff_flags_only_real_regressions():
     rr = _load("round_ritual")
     snap = json.load(open(os.path.join(REPO, "tools", "sweep_baseline.json")))
+    # Pin the snapshot's epoch to the CURRENT on-disk corpus so this test
+    # exercises the timing diff, not the epoch guard (the driver may have
+    # regenerated testdata since the snapshot was committed; the guard
+    # has its own case below).
+    snap["epoch"] = rr._epoch_fingerprint(snap["sf_dir"])
 
     # Identical run: no regressions.
     regs, summary = rr._sweep_diff(json.loads(json.dumps(snap)))
@@ -62,6 +67,42 @@ def test_ritual_diff_flags_only_real_regressions():
     other["sf_dir"] = "/elsewhere/sf9"
     regs, summary = rr._sweep_diff(other)
     assert regs == [] and "diff skipped" in summary
+
+
+def test_ritual_diff_refuses_stale_epoch(tmp_path, monkeypatch):
+    """VERDICT r9 #5: a snapshot taken on a regenerated-away testdata
+    epoch must be refused (explicit 'EPOCH CHANGED' skip), not compared
+    (phantom 2x regressions). Fingerprint = (name, mtime_ns, size) of the
+    corpus parquet files, so a driver regen — same names, new
+    mtimes/sizes — flips it."""
+    rr = _load("round_ritual")
+    d = tmp_path / "sfX"
+    d.mkdir()
+    (d / "lineitem.parquet").write_bytes(b"v1")
+    fp1 = rr._epoch_fingerprint(str(d))
+    assert fp1 == rr._epoch_fingerprint(str(d))  # deterministic
+
+    snap = {
+        "sf_dir": str(d),
+        "epoch": fp1,
+        "total_sec": 1.0,
+        "queries": {"q": 1.0},
+    }
+    monkeypatch.setattr(rr, "SNAPSHOT", tmp_path / "snap.json")
+    rr.SNAPSHOT.write_text(json.dumps(snap))
+
+    # Same epoch: a 4x slowdown IS flagged.
+    run = {"sf_dir": str(d), "total_sec": 4.0, "queries": {"q": 4.0}}
+    regs, _ = rr._sweep_diff(run)
+    assert regs
+
+    # Regenerate the corpus (new bytes -> new mtime/size): guard fires,
+    # the phantom regression is suppressed, the message says re-snapshot.
+    (d / "lineitem.parquet").write_bytes(b"v2-regenerated")
+    assert rr._epoch_fingerprint(str(d)) != fp1
+    regs, summary = rr._sweep_diff(run)
+    assert regs == []
+    assert "EPOCH CHANGED" in summary and "--refresh" in summary
 
 
 def test_bench_gate_math():

@@ -89,6 +89,30 @@ def _gate(src_path: str | None, stdin_payload: str | None = None) -> bool:
     return proc.returncode == 0
 
 
+def _epoch_fingerprint(sf_dir: str) -> str:
+    """Identity of the testdata epoch the timings were measured against:
+    a digest over (name, mtime_ns, size) of the corpus parquet files.
+
+    VERDICT r9 #5: the driver regenerates /root/testdata between (and
+    sometimes mid-) rounds. Pinned timing snapshots taken on the old
+    values silently invalidate — a regenerated corpus can shift per-decl
+    timings enough to read as phantom 2x regressions. Fingerprinting the
+    epoch into the snapshot turns that silent lie into an explicit
+    'epoch changed, re-snapshot' skip."""
+    import hashlib
+
+    h = hashlib.sha256()
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            st = os.stat(os.path.join(sf_dir, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    except OSError as exc:
+        return f"unreadable:{exc}"
+    return h.hexdigest()[:16]
+
+
 def _sweep_diff(sweep: dict) -> tuple[list[str], str]:
     """Compare a sweep result to the committed snapshot.
 
@@ -101,6 +125,14 @@ def _sweep_diff(sweep: dict) -> tuple[list[str], str]:
         return [], (
             f"sweep sf_dir={sweep.get('sf_dir')} != snapshot "
             f"sf_dir={base.get('sf_dir')}; diff skipped"
+        )
+    snap_epoch = base.get("epoch")
+    cur_epoch = _epoch_fingerprint(sweep.get("sf_dir", ""))
+    if snap_epoch is not None and snap_epoch != cur_epoch:
+        return [], (
+            f"EPOCH CHANGED ({snap_epoch} -> {cur_epoch}): the testdata "
+            "under the snapshot was regenerated; timing diff skipped — "
+            "re-run with --refresh to re-snapshot on the new epoch"
         )
     regressions: list[str] = []
     worst_name, worst_ratio = "", 0.0
@@ -184,6 +216,7 @@ def main() -> int:
         if regressions and not args.refresh:
             ok = False
         if args.refresh or not SNAPSHOT.exists():
+            sweep["epoch"] = _epoch_fingerprint(sweep.get("sf_dir", ""))
             SNAPSHOT.write_text(json.dumps(sweep, indent=1, sort_keys=True) + "\n")
             lines.append(f"sweep snapshot {'refreshed' if args.refresh else 'created'} ({SNAPSHOT.name})")
 

@@ -152,6 +152,17 @@ def b6_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- B7: multi-way join (TPC-H Q5 shape) -------------------------------------
 
 def b7_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape. The scale-dominant cost is the lineitem JOIN orders
+    fact-fact SMJ (sf100: the one headline where neither side broadcasts).
+    100 TB guidance (measured, tools/bucketed_ab.py + BASELINE.md r10): if
+    this join recurs, land both facts bucketBy+sortBy(orderkey) with ONE
+    file per bucket (repartition on the key before the write) and set
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true — the SMJ then
+    runs with zero Exchange and zero Sort on the fact inputs (sf10: 9.61s
+    -> 4.36s locally; at cluster scale the eliminated exchange is a full
+    network shuffle of the big fact). The decl itself reads the plain
+    parquet corpus — the driver's tables aren't bucketed — so it keeps
+    the honest shuffle plan."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     customer = _t(spark, sf_dir, "customer")

@@ -2,6 +2,14 @@
 parquet scans (shuffle both sides into the SMJ) vs a co-bucketed layout
 (bucketBy + sortBy on the join key: shuffle-free, sort-free SMJ).
 
+Extends round-7's tools/bucket_bench.py (which measured the exchange
+elimination through the engine's save_table sink, SCALING.md "Bucketing,
+measured") with the SORT side of the story: Spark 3.0+ disables
+bucketed-scan outputOrdering by default (SPARK-28169), so bucket_bench's
+bucketed arm still sorted both sides inside the SMJ. This tool lands
+one-file-per-bucket sorted buckets and flips the legacy flag, driving
+the join-input plan to zero Exchange and zero Sort.
+
 VERDICT r9 #2: b7_join_multiway's one scale-killer-shaped cost is the
 600M x 150M lineitem-orders sort-merge join at sf100 (228.9 s) — the
 honest plan when neither side fits a broadcast, and exactly the join a

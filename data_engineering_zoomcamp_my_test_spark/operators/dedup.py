@@ -1565,6 +1565,67 @@ _DUP_SPANS_SQL = """
         FROM grouped GROUP BY doc_id, grp
     """
 
+def simhash_moments_oracle_sql(max_hamming: int) -> str:
+    """Radius-templated DuckDB twin of :func:`simhash_moments` — shared by
+    the fixed c84 decl (radius 3) and the parameter fuzzer's drawer."""
+    return f"""
+        WITH groups AS (
+          SELECT text, COUNT(*) AS sz
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY text
+        ),
+        toks AS (
+          SELECT text, unnest(string_split(text, ' ')) AS tok FROM groups
+        ),
+        th AS (
+          SELECT text,
+                 CAST(list_sum(list_transform(range(15), i ->
+                   CAST(strpos('0123456789abcdef',
+                               substr(md5(tok), CAST(i + 1 AS INT), 1)) - 1
+                        AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INT))))
+                 AS BIGINT) AS h
+          FROM toks
+        ),
+        votes AS (
+          SELECT text, b,
+                 SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+          GROUP BY text, b
+        ),
+        fp AS (
+          SELECT text,
+                 CAST(SUM(CASE WHEN v > 0
+                               THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                               ELSE 0 END) AS BIGINT) AS f
+          FROM votes GROUP BY text
+        ),
+        cross_pairs AS (
+          SELECT bit_count(xor(a.f, b.f)) AS hamming,
+                 CAST(ga.sz AS BIGINT) * gb.sz AS n
+          FROM fp a JOIN fp b ON a.text < b.text
+          JOIN groups ga ON ga.text = a.text
+          JOIN groups gb ON gb.text = b.text
+          WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+        ),
+        intra AS (
+          SELECT 0 AS hamming,
+                 CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n
+          FROM groups
+        ),
+        counts AS (
+          SELECT hamming, SUM(n) AS n
+          FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra)
+          GROUP BY hamming
+        )
+        SELECT CAST(s.hamming AS INT) AS hamming,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
+        FROM (SELECT unnest(range({max_hamming} + 1)) AS hamming) s
+        LEFT JOIN counts c ON c.hamming = s.hamming
+    """
+
+
 ORACLE = {
     "c1_dedup_exact": """
         SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
@@ -1743,63 +1804,9 @@ ORACLE = {
     # fingerprint reassembled as BIGINT (CAST dodges HUGEINT, which the
     # comparator rejects by guard), then brute-force rep pairs + copy-
     # group arithmetic. Brute force is fine HERE (oracle runs at sf0.01,
-    # ~500 distinct texts); the Spark side stays banded for scale.
-    "c84_simhash_moments": """
-        WITH groups AS (
-          SELECT text, COUNT(*) AS sz
-          FROM documents WHERE text IS NOT NULL
-          GROUP BY text
-        ),
-        toks AS (
-          SELECT text, unnest(string_split(text, ' ')) AS tok FROM groups
-        ),
-        th AS (
-          SELECT text,
-                 CAST(list_sum(list_transform(range(15), i ->
-                   CAST(strpos('0123456789abcdef',
-                               substr(md5(tok), CAST(i + 1 AS INT), 1)) - 1
-                        AS BIGINT)
-                   * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INT))))
-                 AS BIGINT) AS h
-          FROM toks
-        ),
-        votes AS (
-          SELECT text, b,
-                 SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
-                          THEN 1 ELSE -1 END) AS v
-          FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
-          GROUP BY text, b
-        ),
-        fp AS (
-          SELECT text,
-                 CAST(SUM(CASE WHEN v > 0
-                               THEN CAST(1 AS BIGINT) << CAST(b AS INT)
-                               ELSE 0 END) AS BIGINT) AS f
-          FROM votes GROUP BY text
-        ),
-        cross_pairs AS (
-          SELECT bit_count(xor(a.f, b.f)) AS hamming,
-                 CAST(ga.sz AS BIGINT) * gb.sz AS n
-          FROM fp a JOIN fp b ON a.text < b.text
-          JOIN groups ga ON ga.text = a.text
-          JOIN groups gb ON gb.text = b.text
-          WHERE bit_count(xor(a.f, b.f)) <= 3
-        ),
-        intra AS (
-          SELECT 0 AS hamming,
-                 CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n
-          FROM groups
-        ),
-        counts AS (
-          SELECT hamming, SUM(n) AS n
-          FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra)
-          GROUP BY hamming
-        )
-        SELECT CAST(s.hamming AS INT) AS hamming,
-               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
-        FROM (SELECT unnest(range(4)) AS hamming) s
-        LEFT JOIN counts c ON c.hamming = s.hamming
-    """,
+    # ~500 distinct texts; distinct texts saturate ~5k at every decade);
+    # the Spark side stays banded for scale.
+    "c84_simhash_moments": simhash_moments_oracle_sql(3),
     "c62_dup_spans": _DUP_SPANS_SQL,
     "c63_cut_dup_spans": f"""
         WITH spans AS ({_DUP_SPANS_SQL}),

@@ -801,7 +801,42 @@ def _dup_spans_oracle(p: dict) -> str:
     """
 
 
+def _simhash_moments_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        simhash_moments,
+    )
+
+    return simhash_moments(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=p["max_hamming"],
+        n_bands=p["n_bands"],
+    )
+
+
+def _simhash_moments_oracle(p: dict) -> str:
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        simhash_moments_oracle_sql,
+    )
+
+    return simhash_moments_oracle_sql(p["max_hamming"])
+
+
+def _gen_simhash_moments(rng) -> dict:
+    # radius x band-count: every band choice is a divisor of 60 that
+    # satisfies the pigeonhole guarantee (n_bands > max_hamming), so the
+    # draws fuzz the banded recall across band widths 1..30 bits while
+    # the DuckDB twin recomputes the portable fingerprints brute-force.
+    mh = rng.choice([1, 2, 3, 5, 7, 10])
+    bands = rng.choice([d for d in (2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60) if d > mh])
+    return {"max_hamming": mh, "n_bands": bands}
+
+
 OPERATORS: dict[str, dict] = {
+    "simhash_moments": {
+        "gen": _gen_simhash_moments,
+        "spark": _simhash_moments_spark,
+        "oracle": _simhash_moments_oracle,
+    },
     "histogram": {
         "gen": lambda rng: {
             # non-round widths stress the floor-of-division boundary

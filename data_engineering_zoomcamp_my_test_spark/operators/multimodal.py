@@ -7,9 +7,11 @@ status by format (r5): REAL for everything stdlib + numpy can express —
 image headers (PNG/GIF/BMP/JPEG dims), uncompressed 24-bit BMP pixels,
 8-bit PNG pixels (zlib inflate + full scanline unfiltering), GIF pixels
 (pure-Python LZW), baseline-sequential JPEG pixels (Huffman + IDCT +
-chroma upsample, ``_build_jpeg_decoder``), raw PCM16 audio, and WAV;
-STUBBED only where a codec genuinely needs a media lib (progressive/
-arithmetic JPEG, compressed audio/video): there ``decode_stub=True`` produces
+chroma upsample, ``_build_jpeg_decoder``), progressive JPEG (SOF2
+spectral selection + successive approximation, r10 — the former last
+stub), raw PCM16 audio, and WAV;
+STUBBED only where a codec genuinely needs a media lib (arithmetic-coded
+JPEG, compressed audio/video): there ``decode_stub=True`` produces
 deterministic fake features and ``decode_stub=False`` raises
 NotImplementedError. Swapping the stub for PIL/librosa/ffmpeg changes only
 the inner function body, not the distributed plan.
@@ -497,7 +499,8 @@ def _build_jpeg_decoder():
     intervals), dequantize + zigzag reorder, 8x8 IDCT as two matrix
     multiplies, chroma upsample for subsampled scans (4:2:0/4:2:2), and
     YCbCr->RGB. Grayscale (1 component) and interleaved 3-component scans
-    are supported; progressive (SOF2) / arithmetic coding return None.
+    are supported; progressive (SOF2) dispatches to the dedicated
+    multi-scan path below (r10); lossless/arithmetic coding return None.
 
     Same factory-not-module-function rationale as ``_build_lzw_decoder``:
     the returned function object is fresh, so cloudpickle ships it by value
@@ -506,6 +509,422 @@ def _build_jpeg_decoder():
     The per-bit Huffman loop is pure Python — the portable baseline.
     Production swaps this inner function for turbojpeg/PIL without touching
     the distributed plan (same contract as the PNG unfilter loop)."""
+
+    def jpeg_decode_progressive(raw: bytes):
+        """Progressive (SOF2) path: spectral selection + successive
+        approximation per T.81 Annex G, the libjpeg-compatible subset
+        (Huffman entropy coding; DC scans may be interleaved, AC scans are
+        single-component by spec). Coefficients accumulate across scans in
+        per-component integer arrays; dequantize + IDCT happen once at the
+        end. Self-contained on purpose: the baseline path above it stays
+        byte-for-byte untouched."""
+        import struct
+
+        import numpy as np
+
+        if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+            return None
+        zz = []
+        for s in range(15):
+            diag = [(r, s - r) for r in range(max(0, s - 7), min(7, s) + 1)]
+            if s % 2 == 0:
+                diag.reverse()
+            zz.extend(r * 8 + c for r, c in diag)
+
+        qt: dict[int, object] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None
+        dri = 0
+        coefs: dict[int, object] = {}  # comp id -> (bh, bw, 64) int32
+        geo: dict[int, tuple] = {}  # comp id -> (ch, cv, tq, bh_n, bw_n)
+        eobrun = 0
+
+        def parse_dht(seg):
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                j += 17
+                lut: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        if j >= len(seg):
+                            return False
+                        lut[(length, code)] = seg[j]
+                        j += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = lut
+            return True
+
+        def split_segments(data):
+            """Unstuff 0xFF00, split on RSTn, return (segments, consumed)."""
+            segments: list[bytes] = []
+            cur = bytearray()
+            j = 0
+            while j < len(data):
+                b = data[j]
+                if b == 0xFF:
+                    m = data[j + 1] if j + 1 < len(data) else 0xD9
+                    if m == 0x00:
+                        cur.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= m <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        j += 2
+                        continue
+                    break
+                cur.append(b)
+                j += 1
+            segments.append(bytes(cur))
+            return segments, j
+
+        i = 2
+        while i + 2 <= len(raw):
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9 or i + 4 > len(raw):
+                break
+            ln = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+            seg = raw[i + 4 : i + 2 + ln]
+            if marker == 0xDB:
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if j + (64 if pq == 0 else 128) > len(seg):
+                        return None
+                    if pq == 0:
+                        tbl = np.frombuffer(seg, np.uint8, 64, j).astype(np.float64)
+                        j += 64
+                    else:
+                        tbl = np.frombuffer(seg, ">u2", 64, j).astype(np.float64)
+                        j += 128
+                    qt[tq] = tbl
+            elif marker == 0xC2:
+                if frame is not None:
+                    return None
+                if len(seg) < 6 or seg[0] != 8 or len(seg) < 6 + 3 * seg[5]:
+                    return None
+                h, w = struct.unpack(">HH", seg[1:5])
+                comps = [
+                    (
+                        seg[6 + 3 * c],
+                        seg[7 + 3 * c] >> 4,
+                        seg[7 + 3 * c] & 15,
+                        seg[8 + 3 * c],
+                    )
+                    for c in range(seg[5])
+                ]
+                if not h or not w or len(comps) not in (1, 3):
+                    return None
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if not hmax or not vmax:
+                    return None
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for cid, ch, cv, tq in comps:
+                    if hmax % ch or vmax % cv:
+                        return None
+                    # full interleaved-padded grid; non-interleaved scans
+                    # only code the component's own ceil-grid inside it
+                    bh, bw = mcuy * cv, mcux * ch
+                    comp_h = -(-h * cv // vmax)
+                    comp_w = -(-w * ch // hmax)
+                    bh_n = -(-comp_h // 8)
+                    bw_n = -(-comp_w // 8)
+                    coefs[cid] = np.zeros((bh, bw, 64), dtype=np.int64)
+                    geo[cid] = (ch, cv, tq, bh_n, bw_n)
+                frame = (h, w, comps, hmax, vmax, mcux, mcuy)
+            elif marker in (
+                0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                return None  # baseline handled by the caller; others out of scope
+            elif marker == 0xC4:
+                if not parse_dht(seg):
+                    return None
+            elif marker == 0xDD:
+                if len(seg) < 2:
+                    return None
+                dri = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                if len(seg) < 4 or len(seg) < 4 + 2 * seg[0]:
+                    return None
+                ns = seg[0]
+                scomps = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                if se > 63 or ss > se:
+                    return None
+                if ss == 0 and se != 0:
+                    return None  # DC and AC never share a scan in progressive
+                if ss > 0 and ns != 1:
+                    return None  # AC scans are single-component by spec
+                segments, consumed = split_segments(raw[i + 2 + ln :])
+                ok = _progressive_scan(
+                    frame, geo, coefs, huff, scomps, ss, se, ah, al,
+                    segments, dri, zz,
+                )
+                if not ok:
+                    return None
+                i = i + 2 + ln + consumed
+                eobrun = 0
+                continue
+            i += 2 + ln
+        if frame is None:
+            return None
+        h, w, comps, hmax, vmax, mcux, mcuy = frame
+
+        # dequantize + IDCT once, from the accumulated coefficients
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+        m[0] /= np.sqrt(2)
+        full = []
+        for cid, ch, cv, tq in comps:
+            if tq not in qt:
+                return None
+            qraster = np.empty(64, dtype=np.float64)
+            for k in range(64):
+                qraster[zz[k]] = qt[tq][k]
+            arr = coefs[cid]
+            bh, bw, _ = arr.shape
+            deq = arr.astype(np.float64) * qraster  # (bh, bw, 64)
+            blocks = deq.reshape(bh, bw, 8, 8)
+            # batched IDCT: out[b] = m.T @ F[b] @ m
+            plane = np.einsum("ur,ijuv,vc->ijrc", m, blocks, m) + 128
+            plane = plane.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            if ch != hmax:
+                plane = np.repeat(plane, hmax // ch, axis=1)
+            if cv != vmax:
+                plane = np.repeat(plane, vmax // cv, axis=0)
+            full.append(plane[:h, :w])
+        if len(full) == 1:
+            g = np.clip(full[0], 0, 255)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return np.clip(np.stack([r, g, b], axis=2), 0, 255)
+
+    def _progressive_scan(
+        frame, geo, coefs, huff, scomps, ss, se, ah, al, segments, dri, zz
+    ):
+        """Decode one progressive scan into the coefficient buffers.
+        Returns False on any malformed condition (caller yields None)."""
+        h, w, comps, hmax, vmax, mcux, mcuy = frame
+
+        # per-scan unit list: interleaved MCU walk or single-component walk
+        if len(scomps) > 1:
+            n_units = mcux * mcuy
+        else:
+            cid = scomps[0][0]
+            if cid not in geo:
+                return False
+            _, _, _, bh_n, bw_n = geo[cid]
+            n_units = bh_n * bw_n
+        per_seg = dri if dri else n_units
+        done = 0
+        eobrun = 0
+
+        for seg_bytes in segments:
+            if done >= n_units:
+                break
+            bits = int.from_bytes(seg_bytes, "big")
+            total = len(seg_bytes) * 8
+            pos = 0
+            pred = {cs: 0 for cs, _, _ in scomps}
+            eobrun = 0  # restart resets both pred and the EOB run
+
+            def getbits(n):
+                nonlocal pos
+                if n == 0:
+                    return 0
+                if pos + n > total:
+                    return None
+                v = (bits >> (total - pos - n)) & ((1 << n) - 1)
+                pos += n
+                return v
+
+            def readhuff(lut):
+                nonlocal pos
+                code = 0
+                for length in range(1, 17):
+                    b = getbits(1)
+                    if b is None:
+                        return None
+                    code = (code << 1) | b
+                    sym = lut.get((length, code))
+                    if sym is not None:
+                        return sym
+                return None
+
+            def extend(v, n):
+                return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+            def dc_block(arr, by, bx, cs, dlut):
+                if ah == 0:
+                    t = readhuff(dlut)
+                    if t is None or t > 11:
+                        return False
+                    if t:
+                        v = getbits(t)
+                        if v is None:
+                            return False
+                        pred[cs] += extend(v, t)
+                    arr[by, bx, 0] = pred[cs] << al
+                else:
+                    b = getbits(1)
+                    if b is None:
+                        return False
+                    if b:
+                        arr[by, bx, 0] |= 1 << al
+                return True
+
+            def ac_first(block, alut):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return True
+                k = ss
+                while k <= se:
+                    rs = readhuff(alut)
+                    if rs is None:
+                        return False
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                e = getbits(r)
+                                if e is None:
+                                    return False
+                                eobrun += e
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        return False
+                    v = getbits(s)
+                    if v is None:
+                        return False
+                    block[zz[k]] = extend(v, s) << al
+                    k += 1
+                return True
+
+            def ac_refine(block, alut):
+                # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: newly
+                # significant coefficients arrive with magnitude 1<<al;
+                # every already-nonzero coefficient passed along the way
+                # consumes one correction bit.
+                nonlocal eobrun
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = readhuff(alut)
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    e = getbits(r)
+                                    if e is None:
+                                        return False
+                                    eobrun += e
+                                break
+                        else:
+                            if s != 1:
+                                return False
+                            b = getbits(1)
+                            if b is None:
+                                return False
+                            val = p1 if b else m1
+                        while k <= se:
+                            c = int(block[zz[k]])
+                            if c != 0:
+                                b = getbits(1)
+                                if b is None:
+                                    return False
+                                if b and (c & p1) == 0:
+                                    block[zz[k]] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                return False
+                            block[zz[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(block[zz[k]])
+                        if c != 0:
+                            b = getbits(1)
+                            if b is None:
+                                return False
+                            if b and (c & p1) == 0:
+                                block[zz[k]] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+                return True
+
+            seg_end = min(done + per_seg, n_units)
+            while done < seg_end:
+                if len(scomps) > 1:  # interleaved DC scan
+                    my, mx = divmod(done, mcux)
+                    for cs, td, _ in scomps:
+                        if cs not in geo or (0, td) not in huff:
+                            return False
+                        ch, cv, _, _, _ = geo[cs]
+                        for byy in range(cv):
+                            for bxx in range(ch):
+                                if not dc_block(
+                                    coefs[cs], my * cv + byy, mx * ch + bxx,
+                                    cs, huff[(0, td)],
+                                ):
+                                    return False
+                else:
+                    cs, td, ta = scomps[0]
+                    _, _, _, bh_n, bw_n = geo[cs]
+                    by, bx = divmod(done, bw_n)
+                    if ss == 0:
+                        if (0, td) not in huff:
+                            return False
+                        if not dc_block(coefs[cs], by, bx, cs, huff[(0, td)]):
+                            return False
+                    else:
+                        if (1, ta) not in huff:
+                            return False
+                        if ah == 0:
+                            if not ac_first(coefs[cs][by, bx], huff[(1, ta)]):
+                                return False
+                        else:
+                            if not ac_refine(coefs[cs][by, bx], huff[(1, ta)]):
+                                return False
+                done += 1
+        return done >= n_units
 
     def jpeg_decode(raw: bytes):
         import struct
@@ -573,10 +992,12 @@ def _build_jpeg_decoder():
                     for c in range(seg[5])
                 ]
                 frame = (h, w, comps)
+            elif marker == 0xC2:  # progressive: dedicated multi-scan path
+                return jpeg_decode_progressive(raw)
             elif marker in (
-                0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
-            ):  # progressive / lossless / arithmetic: out of baseline scope
+            ):  # lossless / arithmetic: out of scope
                 return None
             elif marker == 0xC4:  # DHT: canonical code construction
                 j = 0
@@ -794,12 +1215,15 @@ def decode_image_pixels(media: DataFrame, bins: int = _THUMB_BINS) -> DataFrame:
       YCbCr with any 1-2x subsampling, restart intervals — canonical
       Huffman decode, dequantize, numpy IDCT, chroma upsample, YCbCr->RGB
       (``_build_jpeg_decoder``, roundtrip-tested against an in-test
-      encoder and anchored to published T.81 constants).
+      encoder and anchored to published T.81 constants); progressive
+      (SOF2) via the multi-scan coefficient-accumulation path (r10),
+      decode-matched bit-for-bit against the baseline encoding of the
+      same pixels.
 
     Output per image: dimensions, channel means, and a ``4x4`` mean-pooled
     RGB thumbnail (48 floats) — the decode/feature/resize pipeline shape a
     vision-pretraining data pipeline runs, exercised on real bytes.
-    Only progressive/arithmetic JPEG stays behind the documented stub;
+    Only arithmetic-coded JPEG stays behind the documented stub;
     unsupported/malformed payloads yield null feature columns,
     never task failures. The Python unfilter loop is row-sequential by
     spec (Sub/Paeth depend on the previous pixel) — production swaps this

@@ -657,6 +657,250 @@ def _jpeg_bytes(px, quality=92, subsample=False, restart=0):
     return bytes(out)
 
 
+def _emit_eob_first(writer, run, ac_codes):
+    """Flush an AC-first-scan EOB run: EOBn symbol (n<<4) + n extra bits."""
+    if not run:
+        return 0
+    n = run.bit_length() - 1
+    ln, code = ac_codes[n << 4]
+    writer.put(code, ln)
+    if n:
+        writer.put(run - (1 << n), n)
+    return 0
+
+
+def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
+    """Encode pixels as PROGRESSIVE JPEG (SOF2, T.81 Annex G).
+
+    refine=False: spectral-selection-only script — one interleaved DC scan
+    (Al=0), then per component two AC band scans (1-5, 6-63, Al=0).
+    refine=True: successive approximation — DC first at Al=1 + DC
+    refinement, then per component AC first at Al=1 (two bands) + AC
+    refinement scans at Al=0 (the correction-bit algorithm, mirroring
+    libjpeg's encode_mcu_AC_refine). Same quantized coefficients as
+    _jpeg_bytes at the same quality, so a correct decoder must reproduce
+    the baseline decode bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes, samp, qids = [px], [(1, 1)], [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+            crp = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes, qids = [y, cb, cr], [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qrasters = [_scaled_q(_Q_LUM, quality), _scaled_q(_Q_CHROM, quality)]
+
+    # quantized zigzag coefficients over each component's padded MCU grid
+    zzcoef = []  # per comp: (bh, bw) -> list of 64 ints
+    dims = []  # per comp: (bh_full, bw_full, bh_n, bw_n)
+    for pl, (sh, sv), tq in zip(planes, samp, qids):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pad = np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])), mode="edge")
+        bh, bw = th // 8, tw // 8
+        grid = {}
+        for by in range(bh):
+            for bx in range(bw):
+                q = _fdct_quantized(
+                    pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qrasters[tq]
+                )
+                grid[(by, bx)] = [int(q.reshape(64)[_JPEG_ZZ[k]]) for k in range(64)]
+        zzcoef.append(grid)
+        comp_h = -(-h * sv // vmax)
+        comp_w = -(-w * sh // hmax)
+        dims.append((bh, bw, -(-comp_h // 8), -(-comp_w // 8)))
+
+    dc_codes = _canonical_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qraster in enumerate(qrasters[: len(set(qids))]):
+        zzq = bytes(qraster[_JPEG_ZZ[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, qids)):
+        sof += bytes([ci + 1, (sh << 4) | sv, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, (counts, symbols) in (
+        (0, (_DC_COUNTS, _DC_SYMBOLS)),
+        (1, (_AC_COUNTS, _AC_SYMBOLS)),
+    ):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        sos = bytes([len(comp_specs)])
+        for cs, td, ta in comp_specs:
+            sos += bytes([cs, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def dc_first_scan(al):
+        nonlocal out
+        out += sos_header([(ci + 1, 0, 0) for ci in range(len(planes))], 0, 0, 0, al)
+        wtr = _BitWriter()
+        preds = [0] * len(planes)
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = zzcoef[ci][(my * sv + by, mx * sh + bx)][0] >> al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = (
+                            diff.bit_length()
+                            if diff >= 0
+                            else (-diff).bit_length()
+                        )
+                        ln, code = dc_codes[t]
+                        wtr.put(code, ln)
+                        if t:
+                            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wtr.pad_to_byte()
+        out += wtr.out
+
+    def dc_refine_scan(al):
+        nonlocal out
+        out += sos_header(
+            [(ci + 1, 0, 0) for ci in range(len(planes))], 0, 0, al + 1, al
+        )
+        wtr = _BitWriter()
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        wtr.put(
+                            (zzcoef[ci][(my * sv + by, mx * sh + bx)][0] >> al) & 1,
+                            1,
+                        )
+        wtr.pad_to_byte()
+        out += wtr.out
+
+    def ac_first_scan(ci, ss, se, al):
+        nonlocal out
+        out += sos_header([(ci + 1, 0, 0)], ss, se, 0, al)
+        wtr = _BitWriter()
+        _, _, bh_n, bw_n = dims[ci]
+        eobrun = 0
+        for bi in range(bh_n * bw_n):
+            by, bx = divmod(bi, bw_n)
+            band = zzcoef[ci][(by, bx)]
+            vals = []
+            for k in range(ss, se + 1):
+                c = band[k]
+                vals.append((abs(c) >> al) * (1 if c >= 0 else -1))
+            last = -1
+            for idx, v in enumerate(vals):
+                if v:
+                    last = idx
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eob_first(wtr, eobrun, ac_codes)
+                continue
+            eobrun = _emit_eob_first(wtr, eobrun, ac_codes)
+            run = 0
+            for idx in range(last + 1):
+                v = vals[idx]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    wtr.put(code, ln)
+                    run -= 16
+                s = v.bit_length() if v >= 0 else (-v).bit_length()
+                ln, code = ac_codes[(run << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < len(vals) - 1:
+                eobrun += 1
+        _emit_eob_first(wtr, eobrun, ac_codes)
+        wtr.pad_to_byte()
+        out += wtr.out
+
+    def ac_refine_scan(ci, ss, se, al):
+        nonlocal out
+        out += sos_header([(ci + 1, 0, 0)], ss, se, al + 1, al)
+        wtr = _BitWriter()
+        _, _, bh_n, bw_n = dims[ci]
+        for bi in range(bh_n * bw_n):
+            by, bx = divmod(bi, bw_n)
+            band = zzcoef[ci][(by, bx)]
+            run = 0
+            pending: list[int] = []  # correction bits queued behind a symbol
+            for k in range(ss, se + 1):
+                c = band[k]
+                t = abs(c) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                if t > 1:  # previously significant: one correction bit
+                    pending.append(t & 1)
+                    continue
+                # newly significant at this precision (|c|>>al == 1)
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    wtr.put(code, ln)
+                    for bit in pending:
+                        wtr.put(bit, 1)
+                    pending = []
+                    run -= 16
+                ln, code = ac_codes[(run << 4) | 1]
+                wtr.put(code, ln)
+                wtr.put(1 if c >= 0 else 0, 1)
+                for bit in pending:
+                    wtr.put(bit, 1)
+                pending = []
+                run = 0
+            if run or pending:  # per-block EOB(1) + trailing corrections
+                ln, code = ac_codes[0x00]
+                wtr.put(code, ln)
+                for bit in pending:
+                    wtr.put(bit, 1)
+        wtr.pad_to_byte()
+        out += wtr.out
+
+    if refine:
+        dc_first_scan(1)
+        dc_refine_scan(0)
+        for ci in range(len(planes)):
+            ac_first_scan(ci, 1, 5, 1)
+            ac_first_scan(ci, 6, 63, 1)
+        for ci in range(len(planes)):
+            ac_refine_scan(ci, 1, 5, 0)
+            ac_refine_scan(ci, 6, 63, 0)
+    else:
+        dc_first_scan(0)
+        for ci in range(len(planes)):
+            ac_first_scan(ci, 1, 5, 0)
+            ac_first_scan(ci, 6, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def test_jpeg_zigzag_matches_published_table():
     """The generated diagonal walk must equal T.81's published zigzag
     sequence (hardcoded here as the external anchor)."""
@@ -792,8 +1036,47 @@ def test_jpeg_gray_and_truncated():
     # truncating the entropy stream must yield None, not an exception
     assert _jpeg_decode(enc[: len(enc) - 8][: -1]) is None or True
     assert _jpeg_decode(enc[:40]) is None
-    # progressive (SOF2) is declared out of scope -> None
+    # a baseline stream relabeled SOF2 is CORRUPT progressive (its single
+    # scan claims Ss=0..Se=63, which progressive forbids): None, not a crash
     assert _jpeg_decode(enc.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+
+
+def test_progressive_jpeg_decodes_exactly():
+    """Progressive (SOF2) decode — VERDICT r9 #7, the last stub closed.
+
+    The in-test progressive encoder reuses the SAME quantized
+    coefficients as the baseline encoder, so a correct progressive
+    decoder must reproduce the baseline decode to float round-off, for
+    both scan scripts (spectral-selection-only and successive
+    approximation with DC+AC refinement scans) and for gray /
+    full-resolution RGB / 4:2:0-subsampled layouts."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(9, 16)).astype(np.uint8)
+    rgb = rng.integers(0, 256, size=(17, 24, 3)).astype(np.uint8)
+
+    for px, kw in (
+        (gray, {}),
+        (rgb, {}),
+        (rgb, {"subsample": True}),
+    ):
+        base = _jpeg_decode(_jpeg_bytes(px, quality=85, **kw))
+        assert base is not None
+        for refine in (False, True):
+            enc = _jpeg_progressive_bytes(px, quality=85, refine=refine, **kw)
+            out = _jpeg_decode(enc)
+            assert out is not None, (px.shape, refine, kw)
+            assert out.shape == base.shape
+            assert float(np.abs(out - base).max()) < 1e-6, (refine, kw)
+    # truncation degrades to None, never an exception
+    enc = _jpeg_progressive_bytes(rgb, quality=85, refine=True)
+    assert _jpeg_decode(enc[:60]) is None
+    assert _jpeg_decode(enc[: len(enc) // 2]) is None
 
 
 def test_decode_image_pixels_jpeg_matches_bmp(spark):
@@ -815,11 +1098,16 @@ def test_decode_image_pixels_jpeg_matches_bmp(spark):
         (2, "image", bytearray(_jpeg_bytes(px, quality=92)), None, None, None),
         (3, "image", bytearray(_jpeg_bytes(px, quality=92, subsample=True)), None, None, None),
         (4, "image", bytearray(b"\xff\xd8\xff\xdb\x00\x05 junk"), None, None, None),
+        (5, "image", bytearray(_jpeg_progressive_bytes(px, quality=92, refine=True)), None, None, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_image_pixels(media).collect()}
     assert out[2].format == "jpeg" and out[3].format == "jpeg"
     assert (out[2].px_width, out[2].px_height) == (24, 24)
+    # progressive decodes through the executor-shipped UDF too, matching
+    # the baseline encoding of the same pixels exactly
+    assert (out[5].px_width, out[5].px_height) == (24, 24)
+    assert list(out[5].mean_rgb) == pytest.approx(list(out[2].mean_rgb), abs=1e-6)
     for mid in (2, 3):
         assert out[mid].mean_rgb == pytest.approx(list(out[1].mean_rgb), abs=4.0)
         got = np.asarray(out[mid].thumb)

@@ -1079,6 +1079,37 @@ def test_progressive_jpeg_decodes_exactly():
     assert _jpeg_decode(enc[: len(enc) // 2]) is None
 
 
+def test_progressive_jpeg_edge_geometries():
+    """MCU-padding stress for the progressive path: sizes that exercise
+    1x1 frames, exact-MCU frames, and non-multiple-of-16 subsampled
+    frames (where the interleaved DC grid is strictly larger than the
+    per-component AC grid, so the two walk geometries genuinely differ)."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ((1, 1), {}),
+        ((8, 8), {}),
+        ((7, 9, 3), {"subsample": True}),
+        ((23, 18, 3), {"subsample": True}),
+        ((16, 16, 3), {"subsample": True}),
+    ]
+    for shape, kw in cases:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        base = _jpeg_decode(_jpeg_bytes(px, quality=90, **kw))
+        assert base is not None, (shape, kw)
+        for refine in (False, True):
+            out = _jpeg_decode(
+                _jpeg_progressive_bytes(px, quality=90, refine=refine, **kw)
+            )
+            assert out is not None, (shape, kw, refine)
+            assert float(np.abs(out - base).max()) < 1e-6, (shape, kw, refine)
+
+
 def test_decode_image_pixels_jpeg_matches_bmp(spark):
     """The Spark path: the same solid-color image as BMP (lossless) and
     JPEG (lossy) must agree to within the quantization grain; thumbnails

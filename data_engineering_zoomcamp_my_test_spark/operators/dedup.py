@@ -1160,6 +1160,14 @@ def simhash_moments(
     distinct text — nothing quadratic in the copy ratio. Output is the
     FULL support (one row per distance, zero-filled), never empty, so a
     no-near-dup corpus still yields a checkable 4-row histogram."""
+    if n_bands <= max_hamming:
+        # same recall contract as simhash_near_pairs: with n_bands <=
+        # max_hamming a qualifying pair can differ in every band and
+        # silently vanish from the histogram
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming} breaks the "
+            "pigeonhole recall guarantee; need n_bands > max_hamming"
+        )
     base = docs.filter(F.col("text").isNotNull())
     groups = base.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")

@@ -535,9 +535,8 @@ def _build_jpeg_decoder():
         huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         frame = None
         dri = 0
-        coefs: dict[int, object] = {}  # comp id -> (bh, bw, 64) int32
+        coefs: dict[int, object] = {}  # comp id -> (bh, bw, 64) int64
         geo: dict[int, tuple] = {}  # comp id -> (ch, cv, tq, bh_n, bw_n)
-        eobrun = 0
 
         def parse_dht(seg):
             j = 0
@@ -682,7 +681,6 @@ def _build_jpeg_decoder():
                 if not ok:
                     return None
                 i = i + 2 + ln + consumed
-                eobrun = 0
                 continue
             i += 2 + ln
         if frame is None:

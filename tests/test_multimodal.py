@@ -1034,7 +1034,8 @@ def test_jpeg_gray_and_truncated():
     # gray replicates across channels exactly
     assert np.array_equal(out[:, :, 0], out[:, :, 1])
     # truncating the entropy stream must yield None, not an exception
-    assert _jpeg_decode(enc[: len(enc) - 8][: -1]) is None or True
+    # (cut well into the coded data: the bit reader runs dry mid-block)
+    assert _jpeg_decode(enc[: len(enc) * 3 // 4]) is None
     assert _jpeg_decode(enc[:40]) is None
     # a baseline stream relabeled SOF2 is CORRUPT progressive (its single
     # scan claims Ss=0..Se=63, which progressive forbids): None, not a crash

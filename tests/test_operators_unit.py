@@ -335,6 +335,13 @@ def test_simhash_moments_matches_bruteforce(spark):
     assert got == expected
     assert expected[0] >= 4  # the copy-arithmetic path actually fired
 
+    # same pigeonhole contract as simhash_near_pairs: a band count that
+    # can't guarantee recall must raise, not silently undercount
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_moments(docs, max_hamming=5, n_bands=4)
+
 
 def test_from_json_validity_detects_malformed(spark):
     """c51's validity flag must be False for syntactically broken JSON (a

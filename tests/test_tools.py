@@ -38,14 +38,18 @@ def test_sweep_snapshot_committed_and_covers_catalog():
     )
 
 
-def test_ritual_diff_flags_only_real_regressions():
+def test_ritual_diff_flags_only_real_regressions(tmp_path, monkeypatch):
     rr = _load("round_ritual")
     snap = json.load(open(os.path.join(REPO, "tools", "sweep_baseline.json")))
-    # Pin the snapshot's epoch to the CURRENT on-disk corpus so this test
-    # exercises the timing diff, not the epoch guard (the driver may have
-    # regenerated testdata since the snapshot was committed; the guard
-    # has its own case below).
+    # Pin the SNAPSHOT FILE's epoch to the current on-disk corpus so this
+    # test exercises the timing diff, not the epoch guard (the driver may
+    # have regenerated testdata since the snapshot was committed; the
+    # guard has its own case below). _sweep_diff reads the baseline from
+    # rr.SNAPSHOT, so the pin must go through a patched snapshot file —
+    # mutating the local dict would be dead code.
     snap["epoch"] = rr._epoch_fingerprint(snap["sf_dir"])
+    monkeypatch.setattr(rr, "SNAPSHOT", tmp_path / "snap.json")
+    rr.SNAPSHOT.write_text(json.dumps(snap))
 
     # Identical run: no regressions.
     regs, summary = rr._sweep_diff(json.loads(json.dumps(snap)))

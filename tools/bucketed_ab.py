@@ -141,8 +141,11 @@ def main() -> int:
         # FILES persist under spark-warehouse but the registration does
         # not. Re-register external tables with the bucket+sort spec over
         # the existing locations.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", f"{REPO}/spark-warehouse"
+        ).removeprefix("file:")
         for name, key in ((li_name, "l_orderkey"), (od_name, "o_orderkey")):
-            loc = f"{REPO}/spark-warehouse/{name}"
+            loc = f"{wh}/{name}"
             sch = spark.read.parquet(loc).schema
             cols = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in sch

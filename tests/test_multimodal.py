@@ -669,7 +669,7 @@ def _emit_eob_first(writer, run, ac_codes):
     return 0
 
 
-def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
+def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False, restart=0):
     """Encode pixels as PROGRESSIVE JPEG (SOF2, T.81 Annex G).
 
     refine=False: spectral-selection-only script — one interleaved DC scan
@@ -747,12 +747,27 @@ def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
         body = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
     def sos_header(comp_specs, ss, se, ah, al):
+        rst_counter[0] = 0  # T.81: restart numbering resets per scan
         sos = bytes([len(comp_specs)])
         for cs, td, ta in comp_specs:
             sos += bytes([cs, (td << 4) | ta])
         sos += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    rst_counter = [0]
+
+    def emit_restart(wtr):
+        """Flush the current entropy segment and emit the next RSTn."""
+        nonlocal out
+        wtr.pad_to_byte()
+        out += wtr.out
+        out += bytes([0xFF, 0xD0 + rst_counter[0]])
+        rst_counter[0] = (rst_counter[0] + 1) & 7
+        return _BitWriter()
 
     def dc_first_scan(al):
         nonlocal out
@@ -760,6 +775,9 @@ def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
         wtr = _BitWriter()
         preds = [0] * len(planes)
         for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                wtr = emit_restart(wtr)
+                preds = [0] * len(planes)
             my, mx = divmod(mcu, mcux)
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
@@ -786,6 +804,8 @@ def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
         )
         wtr = _BitWriter()
         for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                wtr = emit_restart(wtr)
             my, mx = divmod(mcu, mcux)
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
@@ -804,6 +824,10 @@ def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
         _, _, bh_n, bw_n = dims[ci]
         eobrun = 0
         for bi in range(bh_n * bw_n):
+            if restart and bi and bi % restart == 0:
+                # an EOB run may not span a restart: flush it first
+                eobrun = _emit_eob_first(wtr, eobrun, ac_codes)
+                wtr = emit_restart(wtr)
             by, bx = divmod(bi, bw_n)
             band = zzcoef[ci][(by, bx)]
             vals = []
@@ -847,6 +871,8 @@ def _jpeg_progressive_bytes(px, quality=92, subsample=False, refine=False):
         wtr = _BitWriter()
         _, _, bh_n, bw_n = dims[ci]
         for bi in range(bh_n * bw_n):
+            if restart and bi and bi % restart == 0:
+                wtr = emit_restart(wtr)  # refine state is per-block here
             by, bx = divmod(bi, bw_n)
             band = zzcoef[ci][(by, bx)]
             run = 0
@@ -1109,6 +1135,34 @@ def test_progressive_jpeg_edge_geometries():
             )
             assert out is not None, (shape, kw, refine)
             assert float(np.abs(out - base).max()) < 1e-6, (shape, kw, refine)
+
+
+def test_progressive_jpeg_restart_intervals():
+    """DRI in progressive scans: restart markers reset the DC predictor
+    AND the EOB run at segment boundaries, in both interleaved-MCU scans
+    (DC) and per-component block scans (AC) — the decoder counts
+    restart units differently in the two walk geometries, so both are
+    pinned here against restart-free decodes of the same coefficients."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(24, 33, 3)).astype(np.uint8)
+    for kw in ({}, {"subsample": True}):
+        want = _jpeg_decode(_jpeg_progressive_bytes(px, quality=90, **kw))
+        assert want is not None
+        for refine in (False, True):
+            for ri in (1, 2, 5):
+                enc = _jpeg_progressive_bytes(
+                    px, quality=90, refine=refine, restart=ri, **kw
+                )
+                assert enc.count(b"\xff\xd0") >= 1  # RST0 actually present
+                out = _jpeg_decode(enc)
+                assert out is not None, (refine, ri, kw)
+                assert float(np.abs(out - want).max()) < 1e-6, (refine, ri, kw)
 
 
 def test_decode_image_pixels_jpeg_matches_bmp(spark):

@@ -137,6 +137,9 @@ _PRIORITY = (
     #    full-catalog sf0.01+sf0.1 hash-parity layer (pytest
     #    test_oracle_parity.py), so driver seats are the independent
     #    re-attestation, not the only one.
+    # First application of rule 1: c85_minhash_moments (built late in
+    # r10, after this window was fixed) seats in r11 alongside the
+    # returning b10/b14/b16/b28 pins.
     "c75_bigram_logprob", "c77_mad_anomaly", "c79_pmi_collocations",
     "c81_group_trend", "c83_orphan_audit", "c84_simhash_moments",
     "c19_ivf_knn", "c45_lsh_knn_batch", "c48_lsh_embed_neardup",

@@ -1208,6 +1208,124 @@ def c84_simhash_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_moments(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def minhash_moments(
+    docs: DataFrame,
+    k: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Exact MinHash-LSH band-collision MOMENTS — pair count per
+    number-of-shared-bands 1..``n_bands`` — with a fully engine-portable
+    hash family, so the flagship banded-MinHash dedup plan (c6/c33)
+    gains a driver-exact DuckDB twin (the c84 trick applied to MinHash).
+
+    Hash family: ``h_i(s) = md5-60bit(concat(i, ':', s))`` over the same
+    3-gram word shingles c6 uses — k independent md5 draws instead of
+    affine transforms of one draw, because a * h mod p overflows BIGINT
+    in both engines while md5 is bit-identical in both. Signatures live
+    on one representative per distinct text (exact-copy collapse), band
+    keys are the '-'-joined minima in slot order, and copies re-attach
+    arithmetically: intra-group pairs share ALL bands by construction
+    (identical text -> identical signature), cross-rep pairs weight
+    ``sz_a * sz_b``. Output is the zero-filled 1..n_bands support —
+    never empty, monotone evidence of the LSH collision structure.
+
+    Plan shape: explode shingles x k slots (linear, keyed), one
+    partial-aggregating min per (doc, slot), one groupBy per (doc,
+    band), and a band-bucket self-join on reps only — the identical
+    candidate topology the production xxhash64 path uses, so what the
+    oracle certifies is the banding/bucketing logic itself."""
+    if k % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide k={k}")
+    rows_per_band = k // n_bands
+    base = docs.filter(F.col("text").isNotNull())
+    groups = base.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")
+    )
+    sh = groups.select(
+        "doc_id", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("shingle")
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        mins.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+            ).alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    szs = groups.select("doc_id", "sz")
+    cross = (
+        rep_pairs.join(
+            szs.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a")),
+            "doc_id_a",
+        )
+        .join(
+            szs.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b")),
+            "doc_id_b",
+        )
+        .select(
+            F.col("n_shared_bands"), (F.col("sz_a") * F.col("sz_b")).alias("n")
+        )
+    )
+    intra = groups.agg(
+        F.coalesce(F.sum(F.expr("sz * (sz - 1) DIV 2")), F.lit(0)).alias("n")
+    ).select(F.lit(n_bands).alias("n_shared_bands"), "n")
+    spark = docs.sparkSession
+    support = spark.range(1, n_bands + 1).select(
+        F.col("id").cast("int").alias("n_shared_bands")
+    )
+    counts = (
+        cross.unionByName(intra).groupBy("n_shared_bands").agg(F.sum("n").alias("n"))
+    )
+    return support.join(counts, "n_shared_bands", "left").select(
+        "n_shared_bands",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_pairs"),
+    )
+
+
+def c85_minhash_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-exact MinHash band-collision moments (k=16, 4 bands)."""
+    return minhash_moments(load_table(spark, sf_dir, "documents"))
+
+
 _SHINGLE_SET_EXPR = (
     "array_distinct(transform("
     "sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
@@ -1461,6 +1579,7 @@ QUERIES = {
     "c27_simhash": c27_simhash,
     "c28_simhash_pairs": c28_simhash_pairs,
     "c84_simhash_moments": c84_simhash_moments,
+    "c85_minhash_moments": c85_minhash_moments,
     "c29_incremental_dedup": c29_incremental_dedup,
     "c33_minhash_jvm": c33_minhash_jvm,
     "c36_dedup_clusters": c36_dedup_clusters,
@@ -1631,6 +1750,75 @@ def simhash_moments_oracle_sql(max_hamming: int) -> str:
                CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
         FROM (SELECT unnest(range({max_hamming} + 1)) AS hamming) s
         LEFT JOIN counts c ON c.hamming = s.hamming
+    """
+
+
+def minhash_moments_oracle_sql(k: int = 16, n_bands: int = 4) -> str:
+    """Parameter-templated DuckDB twin of :func:`minhash_moments` — the
+    same md5-derived hash family (bit-identical, proven by c84), 3-gram
+    shingles matching _SHINGLE_SET_EXPR, brute-force band compare over
+    distinct-text reps (saturates ~5k at every decade), copy-group
+    arithmetic for the all-bands bucket."""
+    r = k // n_bands
+    return f"""
+        WITH groups AS (
+          SELECT text, COUNT(*) AS sz
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY text
+        ),
+        sh AS (
+          SELECT text,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                          list_slice(string_split(text, ' '),
+                                     CAST(i AS INT), CAST(i + 2 AS INT)),
+                          ' ')))) AS shingle
+          FROM groups
+        ),
+        hi AS (
+          SELECT text, i,
+                 MIN(CAST(list_sum(list_transform(range(15), j ->
+                   CAST(strpos('0123456789abcdef',
+                               substr(md5(concat(i, ':', shingle)),
+                                      CAST(j + 1 AS INT), 1)) - 1
+                        AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST((14 - j) * 4 AS INT))))
+                 AS BIGINT)) AS mh
+          FROM sh CROSS JOIN (SELECT unnest(range({k})) AS i)
+          GROUP BY text, i
+        ),
+        bands AS (
+          SELECT text, i // {r} AS band,
+                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS bkey
+          FROM hi GROUP BY text, i // {r}
+        ),
+        rep_pairs AS (
+          SELECT a.text AS ta, b.text AS tb, COUNT(*) AS n_shared_bands
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.text < b.text
+          GROUP BY 1, 2
+        ),
+        cross_pairs AS (
+          SELECT p.n_shared_bands, CAST(ga.sz AS BIGINT) * gb.sz AS n
+          FROM rep_pairs p
+          JOIN groups ga ON ga.text = p.ta
+          JOIN groups gb ON gb.text = p.tb
+        ),
+        intra AS (
+          SELECT {n_bands} AS n_shared_bands,
+                 CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n
+          FROM groups
+        ),
+        counts AS (
+          SELECT n_shared_bands, SUM(n) AS n
+          FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra)
+          GROUP BY n_shared_bands
+        )
+        SELECT CAST(s.n_shared_bands AS INT) AS n_shared_bands,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs
+        FROM (SELECT unnest(range(1, {n_bands} + 1)) AS n_shared_bands) s
+        LEFT JOIN counts c ON c.n_shared_bands = s.n_shared_bands
     """
 
 
@@ -1815,6 +2003,7 @@ ORACLE = {
     # ~500 distinct texts; distinct texts saturate ~5k at every decade);
     # the Spark side stays banded for scale.
     "c84_simhash_moments": simhash_moments_oracle_sql(3),
+    "c85_minhash_moments": minhash_moments_oracle_sql(16, 4),
     "c62_dup_spans": _DUP_SPANS_SQL,
     "c63_cut_dup_spans": f"""
         WITH spans AS ({_DUP_SPANS_SQL}),

@@ -343,6 +343,72 @@ def test_simhash_moments_matches_bruteforce(spark):
         simhash_moments(docs, max_hamming=5, n_bands=4)
 
 
+def test_minhash_moments_matches_pure_python_reference(spark):
+    """minhash_moments against a from-scratch hashlib reference: shingles,
+    the k md5-derived hashes, per-slot minima, band keys, pair collision
+    counts, and copy-group weighting recomputed in pure Python with no
+    Spark or DuckDB involvement."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        minhash_moments,
+    )
+
+    texts = {
+        "A": "the quick brown fox jumps over the lazy dog today",
+        "B": "the quick brown fox jumps over the lazy cat today",
+        "C": "entirely different words with no shared trigrams at all",
+    }
+    copies = {"A": 3, "B": 1, "C": 2}
+    rows, did = [], 0
+    for kname, n in copies.items():
+        for _ in range(n):
+            rows.append((did, texts[kname]))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    K, NB, R = 16, 4, 4
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def shingles(t: str) -> set:
+        toks = t.split(" ")
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    def signature(t: str) -> list:
+        sset = shingles(t)
+        return [min(h60(f"{i}:{s}") for s in sset) for i in range(K)]
+
+    sigs = {kname: signature(t) for kname, t in texts.items()}
+    names = list(texts)
+    expected = {b: 0 for b in range(1, NB + 1)}
+    for kname, n in copies.items():  # copies share every band
+        expected[NB] += n * (n - 1) // 2
+    for x in range(len(names)):
+        for y in range(x + 1, len(names)):
+            shared = sum(
+                sigs[names[x]][b * R : (b + 1) * R] == sigs[names[y]][b * R : (b + 1) * R]
+                for b in range(NB)
+            )
+            if shared:
+                expected[shared] += copies[names[x]] * copies[names[y]]
+    got = {
+        r["n_shared_bands"]: r["n_pairs"] for r in minhash_moments(docs).collect()
+    }
+    assert got == expected
+    assert expected[NB] >= 3  # copy arithmetic actually fired
+    # A and B differ by one word: most shingles (and so most minima)
+    # agree, so at least one band must collide cross-text
+    assert sum(v for b, v in expected.items()) > expected[NB] or expected[NB] > 4
+
+    with _pytest.raises(ValueError):
+        minhash_moments(docs, k=16, n_bands=5)
+
+
 def test_from_json_validity_detects_malformed(spark):
     """c51's validity flag must be False for syntactically broken JSON (a
     bare isNotNull() on the PERMISSIVE struct would miss it)."""

@@ -831,11 +831,43 @@ def _gen_simhash_moments(rng) -> dict:
     return {"max_hamming": mh, "n_bands": bands}
 
 
+def _minhash_moments_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        minhash_moments,
+    )
+
+    return minhash_moments(
+        load_table(spark, sf_dir, "documents"), k=p["k"], n_bands=p["n_bands"]
+    )
+
+
+def _minhash_moments_oracle(p: dict) -> str:
+    from data_engineering_zoomcamp_my_test_spark.operators.dedup import (
+        minhash_moments_oracle_sql,
+    )
+
+    return minhash_moments_oracle_sql(p["k"], p["n_bands"])
+
+
+def _gen_minhash_moments(rng) -> dict:
+    # k x band-count over the valid divisor grid: band widths (rows per
+    # band) from 1 to k/2, so the draws cover both selective multi-row
+    # bands and permissive near-single-row bands.
+    k = rng.choice([8, 16, 24])
+    bands = rng.choice([b for b in (2, 3, 4, 6, 8, 12) if k % b == 0])
+    return {"k": k, "n_bands": bands}
+
+
 OPERATORS: dict[str, dict] = {
     "simhash_moments": {
         "gen": _gen_simhash_moments,
         "spark": _simhash_moments_spark,
         "oracle": _simhash_moments_oracle,
+    },
+    "minhash_moments": {
+        "gen": _gen_minhash_moments,
+        "spark": _minhash_moments_spark,
+        "oracle": _minhash_moments_oracle,
     },
     "histogram": {
         "gen": lambda rng: {

@@ -1692,9 +1692,14 @@ _DUP_SPANS_SQL = """
         FROM grouped GROUP BY doc_id, grp
     """
 
-def simhash_moments_oracle_sql(max_hamming: int) -> str:
-    """Radius-templated DuckDB twin of :func:`simhash_moments` — shared by
-    the fixed c84 decl (radius 3) and the parameter fuzzer's drawer."""
+def simhash_moments_oracle_sql(max_hamming: int, bits: int = 60) -> str:
+    """Radius- and width-templated DuckDB twin of :func:`simhash_moments` —
+    shared by the fixed c84 decl (radius 3, 60 bits) and the parameter
+    fuzzer's drawer.  ``bits`` mirrors the ``simhash_moments`` parameter so
+    a caller varying fingerprint width can't silently diverge from the
+    oracle (ADVICE r10); the portable hash caps at 60 bits on both sides."""
+    if bits > 60 or bits <= 0:
+        raise ValueError(f"portable simhash oracle supports 1..60 bits, got {bits}")
     return f"""
         WITH groups AS (
           SELECT text, COUNT(*) AS sz
@@ -1718,7 +1723,7 @@ def simhash_moments_oracle_sql(max_hamming: int) -> str:
           SELECT text, b,
                  SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
                           THEN 1 ELSE -1 END) AS v
-          FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+          FROM th CROSS JOIN (SELECT unnest(range({bits})) AS b)
           GROUP BY text, b
         ),
         fp AS (

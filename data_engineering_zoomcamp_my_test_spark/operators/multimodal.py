@@ -743,20 +743,34 @@ def _build_jpeg_decoder():
         for seg_bytes in segments:
             if done >= n_units:
                 break
-            bits = int.from_bytes(seg_bytes, "big")
             total = len(seg_bytes) * 8
             pos = 0
             pred = {cs: 0 for cs, _, _ in scomps}
             eobrun = 0  # restart resets both pred and the EOB run
 
             def getbits(n):
+                # byte-cursor reader: O(bits read), independent of segment
+                # size — a whole-segment int shifted per call would make
+                # decode quadratic in entropy-segment length, a CPU hazard
+                # when the UDF is fed arbitrary corpus bytes.
                 nonlocal pos
                 if n == 0:
                     return 0
                 if pos + n > total:
                     return None
-                v = (bits >> (total - pos - n)) & ((1 << n) - 1)
-                pos += n
+                v = 0
+                p = pos
+                need = n
+                while need:
+                    avail = 8 - (p & 7)
+                    take = avail if avail < need else need
+                    shift = avail - take
+                    v = (v << take) | (
+                        (seg_bytes[p >> 3] >> shift) & ((1 << take) - 1)
+                    )
+                    p += take
+                    need -= take
+                pos = p
                 return v
 
             def readhuff(lut):
@@ -893,14 +907,17 @@ def _build_jpeg_decoder():
                 if len(scomps) > 1:  # interleaved DC scan
                     my, mx = divmod(done, mcux)
                     for cs, td, _ in scomps:
-                        if cs not in geo or (0, td) not in huff:
+                        # DC refinement (ah != 0) consumes raw bits, no
+                        # Huffman codes — libjpeg only requires the DC
+                        # table for the first (ah == 0) DC scan.
+                        if cs not in geo or (ah == 0 and (0, td) not in huff):
                             return False
                         ch, cv, _, _, _ = geo[cs]
                         for byy in range(cv):
                             for bxx in range(ch):
                                 if not dc_block(
                                     coefs[cs], my * cv + byy, mx * ch + bxx,
-                                    cs, huff[(0, td)],
+                                    cs, huff.get((0, td)),
                                 ):
                                     return False
                 else:
@@ -908,9 +925,13 @@ def _build_jpeg_decoder():
                     _, _, _, bh_n, bw_n = geo[cs]
                     by, bx = divmod(done, bw_n)
                     if ss == 0:
-                        if (0, td) not in huff:
+                        # DC table only needed for the first (ah == 0) scan;
+                        # refinement scans read raw bits (libjpeg parity).
+                        if ah == 0 and (0, td) not in huff:
                             return False
-                        if not dc_block(coefs[cs], by, bx, cs, huff[(0, td)]):
+                        if not dc_block(
+                            coefs[cs], by, bx, cs, huff.get((0, td))
+                        ):
                             return False
                     else:
                         if (1, ta) not in huff:

@@ -9,7 +9,11 @@ written", "number of output rows", ...), summed across operators by name.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 
 def _iter_children(node):
@@ -23,8 +27,15 @@ def _iter_children(node):
                 inner = getattr(node, accessor)()
                 if inner is not None and inner is not node:
                     yield inner
-            except Exception:  # noqa: BLE001 - accessor shape varies by node
-                pass
+            except Exception as exc:  # noqa: BLE001 - accessor shape varies by node
+                _LOG.debug(
+                    "plan-walk: %s.%s() unreadable (%s); subtree skipped",
+                    node.getClass().getSimpleName()
+                    if hasattr(node, "getClass")
+                    else type(node).__name__,
+                    accessor,
+                    exc,
+                )
 
 
 def _walk(node, acc: dict[str, int]) -> None:
@@ -35,8 +46,14 @@ def _walk(node, acc: dict[str, int]) -> None:
             metric = kv._2()
             name = metric.name().get() if metric.name().isDefined() else kv._1()
             acc[name] = acc.get(name, 0) + metric.value()
-    except Exception:  # noqa: BLE001 - some wrapper nodes carry no metrics
-        pass
+    except Exception as exc:  # noqa: BLE001 - some wrapper nodes carry no metrics
+        _LOG.debug(
+            "plan-walk: metrics unreadable on %s (%s); node skipped",
+            node.getClass().getSimpleName()
+            if hasattr(node, "getClass")
+            else type(node).__name__,
+            exc,
+        )
     for child in _iter_children(node):
         _walk(child, acc)
 

@@ -1165,6 +1165,72 @@ def test_progressive_jpeg_restart_intervals():
                 assert float(np.abs(out - want).max()) < 1e-6, (refine, ri, kw)
 
 
+def test_progressive_jpeg_dc_refine_without_dc_table():
+    """A DC refinement scan (Ah != 0) consumes raw bits, not Huffman
+    codes, so a spec-valid stream whose refinement SOS references a DC
+    table id that was never defined must still decode (libjpeg parity —
+    ADVICE r10). The first (Ah == 0) DC scan still requires its table."""
+    import struct
+
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+
+    def patch_sos_td(raw, want_ah, new_td):
+        """Rewrite Td in every SOS whose Ah nibble == want_ah."""
+        out = bytearray(raw)
+        i = 2
+        while i + 4 <= len(out):
+            if out[i] != 0xFF:
+                break
+            marker = out[i + 1]
+            if marker == 0xD9:
+                break
+            if 0xD0 <= marker <= 0xD7 or marker in (0x01,):
+                i += 2
+                continue
+            ln = struct.unpack(">H", bytes(out[i + 2 : i + 4]))[0]
+            if marker == 0xDA:
+                ns = out[i + 4]
+                ah = out[i + 5 + 2 * ns + 2] >> 4
+                if ah == want_ah:
+                    for c in range(ns):
+                        ta = out[i + 6 + 2 * c] & 0x0F
+                        out[i + 6 + 2 * c] = (new_td << 4) | ta
+                # skip entropy data to the next marker
+                j = i + 2 + ln
+                while j + 1 < len(out):
+                    if out[j] == 0xFF and out[j + 1] not in (0x00,) and not (
+                        0xD0 <= out[j + 1] <= 0xD7
+                    ):
+                        break
+                    j += 2 if out[j] == 0xFF else 1
+                i = j
+                continue
+            i += 2 + ln
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    enc = _jpeg_progressive_bytes(px, quality=88, refine=True)
+    want = _jpeg_decode(enc)
+    assert want is not None
+
+    # DC refinement scans (Ah=1) pointing at undefined table 3: decodes
+    # identically, because no Huffman code is ever read from that table.
+    patched = patch_sos_td(enc, want_ah=1, new_td=3)
+    assert patched != enc and b"\xff\xda" in patched
+    got = _jpeg_decode(patched)
+    assert got is not None
+    assert float(np.abs(got - want).max()) < 1e-6
+
+    # the FIRST DC scan (Ah=0) still requires its table: undefined -> None
+    broken = patch_sos_td(enc, want_ah=0, new_td=3)
+    assert _jpeg_decode(broken) is None
+
+
 def test_decode_image_pixels_jpeg_matches_bmp(spark):
     """The Spark path: the same solid-color image as BMP (lossless) and
     JPEG (lossy) must agree to within the quantization grain; thumbnails

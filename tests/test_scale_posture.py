@@ -191,6 +191,39 @@ def test_shuffle_metrics_observability(spark, sf_small):
     assert 0 < m.get("shuffle bytes written", 0) < 50_000  # partial-agg keeps it tiny
 
 
+def test_metric_walk_logs_skipped_nodes(caplog):
+    """The plan-walk exception guards are deliberate (accessor shape varies
+    by JVM node), but silently-skipped nodes must be observable at DEBUG so
+    metric gaps can be diagnosed (VERDICT r10 #6)."""
+    import logging
+
+    from data_engineering_zoomcamp_my_test_spark.plans import metrics as pm
+
+    class NoMetrics:
+        # no getClass -> exercises the python-type fallback label too
+        def metrics(self):
+            raise RuntimeError("wrapper node carries no metrics")
+
+        def children(self):
+            class Empty:
+                def size(self):
+                    return 0
+
+            return Empty()
+
+        def executedPlan(self):
+            raise RuntimeError("accessor not wired on this node")
+
+    acc: dict[str, int] = {}
+    with caplog.at_level(logging.DEBUG, logger=pm.__name__):
+        pm._walk(NoMetrics(), acc)
+    assert acc == {}
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("metrics unreadable on NoMetrics" in s for s in msgs)
+    assert any("executedPlan() unreadable" in s and "subtree skipped" in s
+               for s in msgs)
+
+
 def test_driver_window_contains_all_mandated_decls():
     """The external driver oracle-checks only the first ~50 entries of
     queries(); every SURVEY §2-mandated decl must stay inside that window

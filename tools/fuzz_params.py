@@ -809,6 +809,7 @@ def _simhash_moments_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFra
     return simhash_moments(
         load_table(spark, sf_dir, "documents"),
         max_hamming=p["max_hamming"],
+        bits=p["bits"],
         n_bands=p["n_bands"],
     )
 
@@ -818,17 +819,20 @@ def _simhash_moments_oracle(p: dict) -> str:
         simhash_moments_oracle_sql,
     )
 
-    return simhash_moments_oracle_sql(p["max_hamming"])
+    return simhash_moments_oracle_sql(p["max_hamming"], bits=p["bits"])
 
 
 def _gen_simhash_moments(rng) -> dict:
-    # radius x band-count: every band choice is a divisor of 60 that
-    # satisfies the pigeonhole guarantee (n_bands > max_hamming), so the
-    # draws fuzz the banded recall across band widths 1..30 bits while
-    # the DuckDB twin recomputes the portable fingerprints brute-force.
+    # radius x fingerprint-width x band-count: bits is drawn too (ADVICE
+    # r10 — the oracle templates it now, so width can't silently diverge),
+    # every band choice divides the drawn width and satisfies the
+    # pigeonhole guarantee (n_bands > max_hamming), fuzzing banded recall
+    # across band widths 1..bits/2 while the DuckDB twin recomputes the
+    # portable fingerprints brute-force at the same width.
     mh = rng.choice([1, 2, 3, 5, 7, 10])
-    bands = rng.choice([d for d in (2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60) if d > mh])
-    return {"max_hamming": mh, "n_bands": bands}
+    bits = rng.choice([24, 36, 48, 60])
+    bands = rng.choice([d for d in range(mh + 1, bits + 1) if bits % d == 0])
+    return {"max_hamming": mh, "bits": bits, "n_bands": bands}
 
 
 def _minhash_moments_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:

@@ -217,10 +217,11 @@ OPERATORS: dict[str, dict] = {
 
 SESSION_SAFE_WATERMARKS = ["35 days", "60 days"]
 
-# tag -> number of micro-batches the last replay for that tag actually ran
-# (len(q.recentProgress) after processAllAvailable). Lets tests PIN that a
-# max_files_per_trigger draw produced a genuinely multi-batch replay instead
-# of collapsing into one batch (ADVICE r9: the dedup path silently did).
+# tag -> number of DATA-CARRYING micro-batches the last replay for that tag
+# actually ran (recentProgress entries with numInputRows > 0 after
+# processAllAvailable; zero-row ticks excluded per ADVICE r10). Lets tests
+# PIN that a max_files_per_trigger draw produced a genuinely multi-batch
+# replay instead of collapsing into one batch (ADVICE r9: dedup silently did).
 LAST_BATCH_COUNTS: dict[str, int] = {}
 
 
@@ -386,7 +387,12 @@ def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
         )
         try:
             q.processAllAvailable()
-            LAST_BATCH_COUNTS[tag] = len(q.recentProgress)
+            # count only data-carrying batches: recentProgress can include
+            # zero-row progress ticks, which would let a collapsed replay
+            # masquerade as multi-batch (ADVICE r10)
+            LAST_BATCH_COUNTS[tag] = sum(
+                1 for pr in q.recentProgress if pr["numInputRows"] > 0
+            )
         finally:
             q.stop()
         return spark.table(f"sfuzz_{tag}").select(

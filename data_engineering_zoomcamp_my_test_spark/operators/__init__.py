@@ -45,13 +45,13 @@ _PRIORITY = (
     # Tier B core SQL surface (B1-B28)
     "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
     "b5_approx_distinct", "b6_join_inner", "b7_join_multiway", "b8_join_left",
-    "b9_join_anti",
-    "b11_cross", "b12_subq_scalar", "b13_rollup",
-    "b15_win_lag",
+    "b9_join_anti", "b10_join_range",
+    "b11_cross", "b12_subq_scalar", "b13_rollup", "b14_win_rank",
+    "b15_win_lag", "b16_win_frame",
     "b17_sort", "b18_topk",
     "b19_setops", "b20_case", "b21_string_fns",
     "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
-    "b26_cte", "b27_having",
+    "b26_cte", "b27_having", "b28_array_fns",
     # Tier C mandated rows C1-C10.  The same-row companions that used to sit
     # here (c13_knn_all, c9b_session_window, c21_json_agg, b9_join_semi's twin
     # stays via b9_join_anti) are driver-green as of r3 and not SURVEY-mandated
@@ -137,13 +137,21 @@ _PRIORITY = (
     #    full-catalog sf0.01+sf0.1 hash-parity layer (pytest
     #    test_oracle_parity.py), so driver seats are the independent
     #    re-attestation, not the only one.
-    # First application of rule 1: c85_minhash_moments (built late in
-    # r10, after this window was fixed) seats in r11 alongside the
-    # returning b10/b14/b16/b28 pins.
-    "c75_bigram_logprob", "c77_mad_anomaly", "c79_pmi_collocations",
-    "c81_group_trend", "c83_orphan_audit", "c84_simhash_moments",
-    "c19_ivf_knn", "c45_lsh_knn_batch", "c48_lsh_embed_neardup",
-    "c53_approx_percentiles", "c54_stratified_sample",
+    # Round 11: the backlog is ZERO (every r10 seat came back green —
+    # CORRECTNESS_r10: 41 hash + 9 rows-only-by-design, 0 wrong) and the
+    # STANDING RE-SEAT POLICY applies for the first time.  The r10
+    # one-round swap is honored — b10/b14/b16/b28 are RESTORED to the
+    # pins above (rule 2), growing the pinned block to 43 and shrinking
+    # the rotation window to 7 seats.  Rule 1 seats c85_minhash_moments
+    # (built late in r10 after that window was fixed; repo-parity green
+    # at sf0.01/sf0.1 since birth).  Rule 3 starts the oldest-driver-row
+    # round-robin with the SIX stalest greens — all from CORRECTNESS_r01:
+    # b33/b34/b35/b36/b39/b40.  Remaining r1-era rows (b41/c17/c29) plus
+    # the r2-era batch (c36/c43/c46) queue for round 12.
+    "c85_minhash_moments",
+    "b33_win_distribution", "b34_q3_shipping_priority",
+    "b35_q4_order_priority", "b36_q10_returned_items",
+    "b39_setops_all", "b40_null_safe_cmp",
 )
 
 

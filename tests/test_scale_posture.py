@@ -234,17 +234,12 @@ def test_driver_window_contains_all_mandated_decls():
     out in round 4 to widen the rotation window — their mandated twins
     (c3/c9/c10/b9_join_anti) remain pinned."""
     names = list(all_queries())[:50]
-    # Round 10: the r9 swap (b11/b17/b19/b20/b21/b23/b26/b27) is honored —
-    # those eight returned to the pins — and the widening repeats with a
-    # FOURTH distinct batch so the ENTIRE never-driver-checked backlog
-    # (5 exact + 5 rows-only holdouts + the new c84) drains in one round.
-    # Each swapped pin is driver-green every seated round incl. r9 with
-    # untouched operator code; they stay hash-green in the repo's
-    # sf0.01/sf0.1 parity layers (test_oracle_parity.py runs them) and
-    # return to the pins in round 11.
-    swapped_out = {
-        "b10_join_range", "b14_win_rank", "b16_win_frame", "b28_array_fns",
-    }
+    # Round 11: backlog zero, standing re-seat policy in force. The r10
+    # swap (b10/b14/b16/b28) is honored — all four returned to the pins,
+    # so NO pins are swapped out and the full 43-pin block sits in the
+    # window alongside 7 rotation seats (rule 1: c85; rule 3: the six
+    # stalest driver rows, all CORRECTNESS_r01-era).
+    swapped_out: set[str] = set()
     mandated = [
         "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
         *[f"b{i}_" for i in range(1, 29)],  # prefixes checked below
@@ -259,24 +254,16 @@ def test_driver_window_contains_all_mandated_decls():
             assert any(n.startswith(m) for n in names), f"missing {m}* in window"
         else:
             assert m in names, f"{m} fell out of the driver's 50-query window"
-    # Rotation seats must be decls that have never had a driver
-    # correctness row (window position would be wasted otherwise). The
-    # five rows-only holdouts (approximate ops — no SQL-expressible
-    # oracle BY DESIGN; each bounded by a recall/tolerance property
-    # test) get the driver's rows-only check, so they are exempt from
-    # the exact-oracle requirement but must still be registered.
+    # Rotation seats follow the standing policy (operators/__init__.py):
+    # rule-1 re-seats for code churned since the last driver row, rule-2
+    # returning pins, then rule-3 oldest-driver-row round-robin. Every
+    # r11 seat is exact-oracle-bearing.
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    rows_only_seats = {
-        "c19_ivf_knn", "c45_lsh_knn_batch", "c48_lsh_embed_neardup",
-        "c53_approx_percentiles", "c54_stratified_sample",
-    }
-    seats = names[39:]
-    assert len(seats) == 11
+    seats = names[43:]
+    assert len(seats) == 7
     oracles = all_oracle_sql()
     for s in seats:
-        if s in rows_only_seats:
-            continue
         assert s in oracles, f"rotation seat {s} has no exact oracle"
     # the swapped-out pins must still be registered and oracle-bearing
     registry = set(all_queries())

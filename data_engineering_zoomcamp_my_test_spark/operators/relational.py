@@ -865,6 +865,192 @@ def b49_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b50_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer distribution): LEFT OUTER join with the filter
+    in the ON clause (not WHERE — customers with zero qualifying orders
+    must survive with count 0), then a SECOND aggregation over the first's
+    result. The double-aggregation pipeline reuses the first shuffle's
+    output partitioning only if keys align — they don't (custkey vs
+    c_count), so the plan is scan -> keyed left join -> partial+final
+    count -> re-shuffle on the tiny count domain; the second shuffle moves
+    one row per customer, not per order. COUNT(o_orderkey) (not *) so
+    null-extended rows count 0 in both engines."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def b51_q22_global_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity): an UNCORRELATED scalar
+    subquery (global average balance of in-the-black customers) gating a
+    NOT EXISTS anti join, with a final rollup per nation. The scalar is a
+    one-row broadcast cross join (never a shuffle); the anti join keys on
+    custkey against orders pre-filtered to the urgent class, so the
+    build side is a fraction of orders. Threshold arithmetic is exact
+    DECIMAL sum -> DOUBLE -> divide in BOTH engines (money_avg), making
+    the boundary comparison bit-identical under any partitioning."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(money_avg(money("c_acctbal"), "avg_bal"))
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_urgent = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_urgent.groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dmoney_sum_grain(money("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+def b52_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): aggregate a quarter's revenue per
+    supplier, take the GLOBAL MAX of that aggregate, and join back on
+    EQUALITY with it — the view-feeding-its-own-max pattern. The equality
+    is exact because revenue stays DECIMAL at the money grain until after
+    the comparison (a double round-trip could split ties differently per
+    engine). The max is a one-row broadcast; the winner set (usually one
+    row) is broadcast into the supplier join, so nothing re-shuffles the
+    fact table after its single aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1996-04-01"))
+        # explicit, so BOTH uses of per_supp carry the same scan filters:
+        # without it the supplier join infers isnotnull(l_suppkey) on the
+        # probe branch only, the branches stop being canonical-equal, and
+        # AQE cannot reuse the shuffle stage (the fact table would scan
+        # and aggregate TWICE). The oracle applies the same predicate.
+        & F.col("l_suppkey").isNotNull()
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).alias("_rev_dec")
+    )
+    mx = per_supp.agg(F.max("_rev_dec").alias("_mx"))
+    top = (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev_dec") == F.col("_mx"))
+        .select("l_suppkey", "_rev_dec")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def b53_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): a 6-table join (fact + part
+    filter + order date window + customer -> nation -> region gate +
+    supplier -> nation role) feeding a CONDITIONAL-aggregate ratio per
+    year. Share is computed as double division of two exact
+    grain-rounded DECIMAL sums — decimal/decimal division has
+    engine-specific scale rules, double division is IEEE-identical.
+    Both nation roles and region broadcast (fixed dims); part prunes
+    first (most selective), the fact-side joins stay keyed under AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= ts_lit(orders, "o_orderdate", "1995-01-01"))
+        & (F.col("o_orderdate") < ts_lit(orders, "o_orderdate", "1997-01-01"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_regionkey").alias("_cn_region"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(region), F.col("_cn_region") == F.col("r_regionkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    out = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dmoney_sum_grain(
+            F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)),
+            "nation_volume",
+        ),
+        dmoney_sum_grain(vol, "total_volume"),
+    )
+    return out.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def b54_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-group aggregate kept only where it
+    exceeds a SCALAR-SUBQUERY threshold derived from the same aggregate's
+    global rollup. The classic fixed-fraction threshold (0.0001/SF) is
+    scale-dependent, so the adapted predicate is scale-invariant: parts
+    whose revenue exceeds 1.5x the MEAN per-part revenue. The threshold
+    reuses the per-part aggregate (sum of grain-rounded DECIMALs — exact,
+    partition-order free), so the fact table is scanned and shuffled
+    exactly once; the one-row global rollup broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    pv = li.groupBy("l_partkey").agg(F.round(F.sum(rev), 2).alias("_v_dec"))
+    tot = pv.agg(
+        F.sum("_v_dec").cast("double").alias("_tv"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("_v_dec").cast("double")
+            > F.col("_tv") / F.col("_np") * F.lit(1.5)
+        )
+        .select(
+            "l_partkey", F.col("_v_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
 QUERIES = {
     "b1_filter_pred": b1_filter_pred,
     "b46_q18_big_orders": b46_q18_big_orders,
@@ -908,6 +1094,11 @@ QUERIES = {
     "b41_string_advanced": b41_string_advanced,
     "b44_win_value_fns": b44_win_value_fns,
     "b45_listagg": b45_listagg,
+    "b50_q13_custdist": b50_q13_custdist,
+    "b51_q22_global_cust": b51_q22_global_cust,
+    "b52_q15_top_supplier": b52_q15_top_supplier,
+    "b53_q8_market_share": b53_q8_market_share,
+    "b54_q11_value_share": b54_q11_value_share,
 }
 
 _MONEY = "DECIMAL(18,2)"
@@ -1264,5 +1455,86 @@ ORACLE = {
           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "b50_q13_custdist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "b51_q22_global_cust": """
+        WITH t AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, t
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey ORDER BY cntry
+    """,
+    "b52_q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey, ROUND(SUM({_REV}), 2) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+            AND l_suppkey IS NOT NULL
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "b53_q8_market_share": f"""
+        WITH vols AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 n2.n_name AS supp_nation, {_REV} AS vol
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+        )
+        SELECT o_year,
+               CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN vol ELSE 0 END), 2) AS DOUBLE)
+                 AS nation_volume,
+               CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS total_volume,
+               CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN vol ELSE 0 END), 2) AS DOUBLE)
+                 / CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS mkt_share
+        FROM vols GROUP BY o_year ORDER BY o_year
+    """,
+    "b54_q11_value_share": f"""
+        WITH pv AS (
+          SELECT l_partkey, ROUND(SUM({_REV}), 2) AS v_dec
+          FROM lineitem GROUP BY l_partkey
+        ),
+        t AS (
+          SELECT CAST(SUM(v_dec) AS DOUBLE) AS tv, COUNT(*) AS np FROM pv
+        )
+        SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
+        FROM pv, t
+        WHERE CAST(v_dec AS DOUBLE) > tv / np * 1.5
+        ORDER BY part_value DESC, l_partkey
     """,
 }

@@ -517,6 +517,55 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def c86_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM twin of c72 under the exact oracle: the view->purchase
+    interval join replayed over file drops — the first JOIN (two watermarked
+    inputs, two-sided state, append output) in the exact-oracle streaming
+    family, which until now covered only aggregations (c66/c78/c80).
+
+    An inner interval join emits a pair as soon as both sides are present,
+    so the replay equals the batch join iff no state expires early; the
+    35-day watermark bounds the 30-day corpus' worst-case disorder, making
+    the appended output exact under any slicing/arrival order (same
+    exactness-domain argument as c78's session watermark). Append-mode
+    output accumulates across epochs, so the drive lands each micro-batch
+    in an epoch-scoped parquet dir (exactly-once under retry) instead of
+    complete-mode's overwrite — see ``_drive_append_mode``, RocksDB state
+    store for the two-sided join state.
+
+    maxFilesPerTrigger=1 over 4 hash-sliced drops = a genuine
+    4-micro-batch replay: views and purchases of the same pair routinely
+    land in DIFFERENT batches, exercising the cross-batch join-state path."""
+    import shutil
+    import uuid
+
+    from ..streaming.windows import run_streaming_attribution_replay
+    from ..tmpdirs import ephemeral_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = ephemeral_dir("c86_drops_")
+    ckpt_dir = ephemeral_dir("c86_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        out = run_streaming_attribution_replay(
+            spark,
+            drop_dir,
+            checkpoint=ckpt_dir,
+            sink_dir=ephemeral_dir("c86_state_"),
+            query_name=f"c86_out_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
+        )
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out.select(
+        "p_user",
+        "purchase_id",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
 QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
@@ -531,11 +580,30 @@ QUERIES = {
     "c77_mad_anomaly": c77_mad_anomaly,
     "c78_streaming_session": c78_streaming_session,
     "c80_streaming_sliding": c80_streaming_sliding,
+    "c86_streaming_attribution": c86_streaming_attribution,
     "c44_session_funnel": c44_session_funnel,
     "c61_resample_ffill": c61_resample_ffill,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+# shared by the batch decl (c72) and its streaming replay twin (c86)
+_ATTRIBUTION_ORACLE = """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id AS p_user, purchase_id, view_id,
+           CAST(epoch_us(view_ts) AS BIGINT) AS view_us,
+           CAST(epoch_us(purchase_ts) AS BIGINT) AS purchase_us
+    FROM v JOIN p ON v.user_id = p.user_id
+      AND purchase_ts >= view_ts
+      AND purchase_ts <= view_ts + INTERVAL '30 minutes'
+"""
 
 ORACLE = {
     "c61_resample_ffill": """
@@ -557,22 +625,10 @@ ORACLE = {
                (o.v_obs IS NULL) AS is_gap
         FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
     """,
-    "c72_attribution_join": """
-        WITH v AS (
-          SELECT user_id, event_id AS view_id, ts AS view_ts
-          FROM events WHERE event_type = 'view'
-        ),
-        p AS (
-          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
-          FROM events WHERE event_type = 'purchase'
-        )
-        SELECT p.user_id AS p_user, purchase_id, view_id,
-               CAST(epoch_us(view_ts) AS BIGINT) AS view_us,
-               CAST(epoch_us(purchase_ts) AS BIGINT) AS purchase_us
-        FROM v JOIN p ON v.user_id = p.user_id
-          AND purchase_ts >= view_ts
-          AND purchase_ts <= view_ts + INTERVAL '30 minutes'
-    """,
+    "c72_attribution_join": _ATTRIBUTION_ORACLE,
+    # the streaming replay's appended output must equal the batch interval
+    # join exactly (watermark covers the replay's disorder — see the decl)
+    "c86_streaming_attribution": _ATTRIBUTION_ORACLE,
     "c69_retention_cohorts": """
         WITH active AS (
           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events

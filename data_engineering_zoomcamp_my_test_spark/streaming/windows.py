@@ -113,6 +113,119 @@ def _drive_complete_mode(
     return spark.read.parquet(sink_dir)
 
 
+def _drive_append_mode(
+    spark: SparkSession,
+    out: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    sink_dir: str,
+) -> DataFrame:
+    """Run an append-mode streaming plan to completion and return ALL rows
+    it emitted.
+
+    Append output accumulates across epochs (unlike complete mode, where
+    the last epoch IS the answer), so each micro-batch lands in an
+    epoch-scoped parquet path with overwrite — a retried epoch replaces
+    its own directory, never double-appends (the same exactly-once shape
+    as ``stream_to_parquet_exactly_once``). Rows never serialize to the
+    driver, and the state store runs on the RocksDB provider for the
+    query's duration: stream-stream join state holds BOTH sides' rows
+    within the watermark, the heap-backed default is the first thing to
+    die at 100 TB. The returned DataFrame reads the epoch dirs lazily, so
+    ``sink_dir`` must outlive consumption."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+
+    def _land(batch_df: DataFrame, epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/epoch={epoch}")
+
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(_land)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # epoch=N dirs passed as explicit roots (glob), so no partition column
+    # is inferred into the result schema
+    return spark.read.parquet(f"{sink_dir}/epoch=*")
+
+
+def _attribution_join_plan(
+    views: DataFrame, purchases: DataFrame, attribution_window: str
+) -> DataFrame:
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {attribution_window}"
+        ),
+    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
+
+
+def run_streaming_attribution_replay(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    sink_dir: str,
+    query_name: str = "attrib_replay",
+    attribution_window: str = "30 minutes",
+    watermark: str = "35 days",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay a bounded file-drop directory through the stream-stream
+    interval join and return the full appended output — the driver-decl
+    arm of ``run_streaming_attribution_join`` (which returns a live
+    memory-sink query for interactive/test use).
+
+    Exactness domain: an inner stream-stream join emits a pair the moment
+    both sides are present, so the ONLY way a replay can lose a batch-join
+    row is state expiry — a side evicted by the watermark before its
+    partner arrives. A watermark covering the replay's full time span
+    (the bound on any arrival disorder) therefore makes the appended
+    output EQUAL the batch join, under any file slicing and arrival
+    order; 35 days covers the events corpus' 30-day span."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = _attribution_join_plan(views, purchases, attribution_window)
+    return _drive_append_mode(spark, joined, query_name, checkpoint, sink_dir)
+
+
 def _sliding_agg(df: DataFrame, window: str, slide: str) -> DataFrame:
     return (
         df.groupBy(F.window("ts", window, slide).alias("w"))
@@ -324,13 +437,7 @@ def batch_view_purchase_attribution(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
     )
-    return views.join(
-        purchases,
-        F.expr(
-            "v_user = p_user AND purchase_ts >= view_ts "
-            f"AND purchase_ts <= view_ts + interval {attribution_window}"
-        ),
-    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
+    return _attribution_join_plan(views, purchases, attribution_window)
 
 
 def run_streaming_attribution_join(
@@ -375,13 +482,7 @@ def run_streaming_attribution_join(
         )
         .withWatermark("purchase_ts", watermark)
     )
-    joined = views.join(
-        purchases,
-        F.expr(
-            "v_user = p_user AND purchase_ts >= view_ts "
-            f"AND purchase_ts <= view_ts + interval {attribution_window}"
-        ),
-    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts")
+    joined = _attribution_join_plan(views, purchases, attribution_window)
     return (
         joined.writeStream.outputMode("append")
         .format("memory")

@@ -413,3 +413,55 @@ def test_stream_stream_join_expires_state_past_watermark(spark, tmp_path):
         finally:
             q.stop()
         assert spark.table(tag).count() == expect, (wm, expect)
+
+
+def test_streaming_attribution_replay_multi_batch_exact(spark, sf_small, tmp_path):
+    """The c86 replay arm: a 4-file drop at maxFilesPerTrigger=1 runs as a
+    genuine multi-epoch replay (pinned by the epoch-scoped sink layout —
+    one dir per micro-batch, the exactly-once overwrite unit) and its
+    appended output equals the batch interval join row-for-row, including
+    pairs whose two sides arrived in DIFFERENT micro-batches."""
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        batch_view_purchase_attribution,
+        run_streaming_attribution_replay,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    drop_dir = str(tmp_path / "c86_drops")
+    sink_dir = str(tmp_path / "c86_sink")
+    events.repartition(4).write.parquet(drop_dir)
+
+    out = run_streaming_attribution_replay(
+        spark,
+        drop_dir,
+        checkpoint=str(tmp_path / "c86_ckpt"),
+        sink_dir=sink_dir,
+        query_name="c86_test",
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r.p_user, r.purchase_id, r.view_id) for r in out.collect()
+    )
+    want_df = batch_view_purchase_attribution(spark.read.parquet(drop_dir))
+    want = sorted(
+        (r.p_user, r.purchase_id, r.view_id) for r in want_df.collect()
+    )
+    assert got == want and len(got) > 0
+
+    # multi-batch pin: 4 single-file triggers -> >= 4 epoch dirs
+    epochs = [d for d in os.listdir(sink_dir) if d.startswith("epoch=")]
+    assert len(epochs) >= 4, epochs
+
+    # cross-batch pin: at least one attributed pair's sides landed in
+    # different drop files (hash slicing makes this overwhelmingly likely;
+    # if it ever fails the test corpus stopped exercising join state)
+    files = sorted(os.listdir(drop_dir))
+    part_of = {}
+    for i, fname in enumerate(f for f in files if f.endswith(".parquet")):
+        for r in spark.read.parquet(os.path.join(drop_dir, fname)).select(
+            "event_id"
+        ).collect():
+            part_of[r.event_id] = i
+    assert any(
+        part_of.get(p) != part_of.get(v) for _, p, v in got
+    ), "all pairs co-located in one drop file"

@@ -106,7 +106,12 @@ def _gen_session(rng: random.Random) -> dict:
 
 
 def _gen_attribution(rng: random.Random) -> dict:
-    return {"attr_minutes": rng.choice([5, 10, 17, 30, 45, 61, 120])}
+    # sink draw referees BOTH drive paths: the live memory-sink query and
+    # c86's epoch-scoped exactly-once parquet replay (_drive_append_mode)
+    return {
+        "attr_minutes": rng.choice([5, 10, 17, 30, 45, 61, 120]),
+        "sink": rng.choice(["memory", "epoch_parquet"]),
+    }
 
 
 def _gen_dedup(rng: random.Random) -> dict:
@@ -320,10 +325,33 @@ def _run_attribution(spark, drop_dir: str, p: dict, tag: str):
 
     from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
         run_streaming_attribution_join,
+        run_streaming_attribution_replay,
     )
 
+    proj = lambda df: df.select(  # noqa: E731 - shared output shape
+        "p_user",
+        "purchase_id",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
     ckpt = tempfile.mkdtemp(prefix=f"sfuzz_ckpt_{tag}_")
+    sink = tempfile.mkdtemp(prefix=f"sfuzz_sink_{tag}_")
     try:
+        if p.get("sink") == "epoch_parquet":
+            out = run_streaming_attribution_replay(
+                spark,
+                drop_dir,
+                checkpoint=ckpt,
+                sink_dir=sink,
+                query_name=f"sfuzz_{tag}",
+                attribution_window=f"{p['attr_minutes']} minutes",
+                watermark=p["watermark"],
+                max_files_per_trigger=p["max_files_per_trigger"],
+            )
+            # materialize before the sink dir is reclaimed below
+            out = proj(out)
+            return spark.createDataFrame(out.collect(), out.schema)
         q = run_streaming_attribution_join(
             spark,
             drop_dir,
@@ -337,15 +365,10 @@ def _run_attribution(spark, drop_dir: str, p: dict, tag: str):
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.table(f"sfuzz_{tag}").select(
-            "p_user",
-            "purchase_id",
-            "view_id",
-            F.unix_micros("view_ts").alias("view_us"),
-            F.unix_micros("purchase_ts").alias("purchase_us"),
-        )
+        return proj(spark.table(f"sfuzz_{tag}"))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 def _run_dedup(spark, drop_dir: str, p: dict, tag: str):

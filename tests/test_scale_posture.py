@@ -444,3 +444,78 @@ def test_label_centroid_join_broadcasts(spark, sf_small):
     df = all_queries()["c76_label_centroid_cosine"](spark, sf_small)
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q13_on_clause_filter_pushed_and_left_join(spark, sf_small):
+    """b50: the ON-clause priority filter must reach the orders scan as a
+    pushed predicate, and the join must stay LEFT (zero-order customers
+    survive with count 0)."""
+    df = all_queries()["b50_q13_custdist"](spark, sf_small)
+    plan = explain_str(df, "formatted")
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("o_orderpriority" in line for line in pushed), pushed
+    assert "LeftOuter" in plan or "BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark, sf_small):
+    """b51: the global-average scalar joins as a one-row broadcast
+    nested loop (never a shuffle), the NOT EXISTS compiles to a LeftAnti
+    join, and nothing goes cartesian."""
+    df = all_queries()["b51_q22_global_cust"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row scalar
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_fact_aggregation_reused_not_recomputed(spark, sf_small):
+    """b52: the per-supplier revenue aggregate feeds BOTH its own global
+    max and the final join — the two uses must share ONE materialized
+    shuffle stage (AQE exchange reuse; guarded by the explicit
+    isnotnull(l_suppkey) that keeps the branches canonical-equal).
+    Regression = the fact table scans and aggregates twice."""
+    df = all_queries()["b52_q15_top_supplier"](spark, sf_small)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    live = final.split("+- == Initial Plan ==")[0]
+    import re
+
+    supp_exchanges = set(
+        re.findall(r"Exchange hashpartitioning\(l_suppkey#\d+L", live)
+    )
+    assert len(supp_exchanges) == 1, supp_exchanges
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_q11_single_fact_shuffle_via_reuse(spark, sf_small):
+    """b54: the per-part aggregate and its global rollup share one
+    materialized shuffle of the fact table (AQE reuse)."""
+    df = all_queries()["b54_q11_value_share"](spark, sf_small)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    live = final.split("+- == Initial Plan ==")[0]
+    import re
+
+    part_exchanges = set(
+        re.findall(r"Exchange hashpartitioning\(l_partkey#\d+L", live)
+    )
+    assert len(part_exchanges) == 1, part_exchanges
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_q8_market_share_broadcasts_fixed_dims_only(spark, sf_small):
+    """b53: nation (both roles) and region broadcast by hint; the plan
+    never degenerates to a cartesian/nested-loop product, and the date
+    window is pushed to the orders scan."""
+    df = all_queries()["b53_q8_market_share"](spark, sf_small)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("o_orderdate" in line for line in pushed), pushed

@@ -30,7 +30,13 @@ DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
          # tie-break struct; c61: IGNORE-NULLS forward fill over a grid
          # join; c23: as-of union-merge ordering
          "b13_rollup", "c37_tfidf_top_term", "c61_resample_ffill",
-         "c23_asof_join"]
+         "c23_asof_join",
+         # r11 shapes with scalar-threshold / aggregate-equality joins:
+         # b51's avg-balance gate, b52's DECIMAL max-equality join-back,
+         # b54's 1.5x-mean cut — each must pick the SAME rows under any
+         # accumulation order
+         "b51_q22_global_cust", "b52_q15_top_supplier",
+         "b54_q11_value_share"]
 
 # (files.maxPartitionBytes, shuffle.partitions): one coarse layout (every
 # table a single split, single reducer) and one absurdly fine one (64 KiB

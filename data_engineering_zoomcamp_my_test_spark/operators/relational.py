@@ -1022,16 +1022,18 @@ def b53_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_year")
 
 
-def b54_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_value_share(li: DataFrame, mult: float = 1.5) -> DataFrame:
     """Q11 shape (important stock): per-group aggregate kept only where it
     exceeds a SCALAR-SUBQUERY threshold derived from the same aggregate's
     global rollup. The classic fixed-fraction threshold (0.0001/SF) is
     scale-dependent, so the adapted predicate is scale-invariant: parts
-    whose revenue exceeds 1.5x the MEAN per-part revenue. The threshold
-    reuses the per-part aggregate (sum of grain-rounded DECIMALs — exact,
-    partition-order free), so the fact table is scanned and shuffled
-    exactly once; the one-row global rollup broadcasts."""
-    li = _t(spark, sf_dir, "lineitem")
+    whose revenue exceeds ``mult``x the MEAN per-part revenue. The
+    threshold reuses the per-part aggregate (sum of grain-rounded
+    DECIMALs — exact, partition-order free), so the fact table is scanned
+    and shuffled exactly once; the one-row global rollup broadcasts. All
+    threshold arithmetic is IEEE double (engine-identical); ``mult`` is
+    templated identically into the DuckDB twin
+    (:func:`q11_value_share_oracle_sql`, param-fuzzed)."""
     rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     pv = li.groupBy("l_partkey").agg(F.round(F.sum(rev), 2).alias("_v_dec"))
     tot = pv.agg(
@@ -1042,13 +1044,36 @@ def b54_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.crossJoin(F.broadcast(tot))
         .filter(
             F.col("_v_dec").cast("double")
-            > F.col("_tv") / F.col("_np") * F.lit(1.5)
+            > F.col("_tv") / F.col("_np") * F.lit(float(mult))
         )
         .select(
             "l_partkey", F.col("_v_dec").cast("double").alias("part_value")
         )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
+
+
+def q11_value_share_oracle_sql(mult: float = 1.5) -> str:
+    """Multiplier-templated DuckDB twin of :func:`q11_value_share`; repr()
+    of the float gives the same literal value in both engines."""
+    return f"""
+        WITH pv AS (
+          SELECT l_partkey, ROUND(SUM({_REV}), 2) AS v_dec
+          FROM lineitem GROUP BY l_partkey
+        ),
+        t AS (
+          SELECT CAST(SUM(v_dec) AS DOUBLE) AS tv, COUNT(*) AS np FROM pv
+        )
+        SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
+        FROM pv, t
+        WHERE CAST(v_dec AS DOUBLE) > tv / np * {float(mult)!r}
+        ORDER BY part_value DESC, l_partkey
+    """
+
+
+def b54_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-parameter decl of :func:`q11_value_share` (mult=1.5)."""
+    return q11_value_share(_t(spark, sf_dir, "lineitem"), mult=1.5)
 
 
 QUERIES = {
@@ -1524,17 +1549,5 @@ ORACLE = {
                  / CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS mkt_share
         FROM vols GROUP BY o_year ORDER BY o_year
     """,
-    "b54_q11_value_share": f"""
-        WITH pv AS (
-          SELECT l_partkey, ROUND(SUM({_REV}), 2) AS v_dec
-          FROM lineitem GROUP BY l_partkey
-        ),
-        t AS (
-          SELECT CAST(SUM(v_dec) AS DOUBLE) AS tv, COUNT(*) AS np FROM pv
-        )
-        SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
-        FROM pv, t
-        WHERE CAST(v_dec AS DOUBLE) > tv / np * 1.5
-        ORDER BY part_value DESC, l_partkey
-    """,
+    "b54_q11_value_share": q11_value_share_oracle_sql(1.5),
 }

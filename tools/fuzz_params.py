@@ -862,7 +862,37 @@ def _gen_minhash_moments(rng) -> dict:
     return {"k": k, "n_bands": bands}
 
 
+def _q11_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.relational import (
+        q11_value_share,
+    )
+
+    return q11_value_share(
+        load_table(spark, sf_dir, "lineitem"), mult=p["mult"]
+    )
+
+
+def _q11_oracle(p: dict) -> str:
+    from data_engineering_zoomcamp_my_test_spark.operators.relational import (
+        q11_value_share_oracle_sql,
+    )
+
+    return q11_value_share_oracle_sql(p["mult"])
+
+
+def _gen_q11(rng) -> dict:
+    # multipliers straddle the selectivity cliff (everything kept ->
+    # nothing kept) so the double-threshold boundary arithmetic is probed
+    # where row membership actually flips
+    return {"mult": rng.choice([0.5, 0.9, 1.0, 1.1, 1.2, 1.5, 1.8, 2.0, 3.0])}
+
+
 OPERATORS: dict[str, dict] = {
+    "q11_value_share": {
+        "gen": _gen_q11,
+        "spark": _q11_spark,
+        "oracle": _q11_oracle,
+    },
     "simhash_moments": {
         "gen": _gen_simhash_moments,
         "spark": _simhash_moments_spark,

@@ -375,6 +375,8 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c37_tfidf_top_term": {"bnlj"},
         "c75_bigram_logprob": {"bnlj"},  # 1-row vocab-size scalar attach
         "c79_pmi_collocations": {"bnlj"},  # 1-row corpus-totals attach
+        "b51_q22_global_cust": {"bnlj"},  # 1-row global-avg scalar attach
+        "b54_q11_value_share": {"bnlj"},  # 1-row global-rollup attach
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
     }

@@ -566,6 +566,101 @@ def c86_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c87_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingest dedup under the EXACT oracle: the events table
+    is landed as 2 drop files, every file is then REDELIVERED (copied with
+    a strictly later mtime so the ascending-mtime listing replays the
+    copies in LATER micro-batches), and the replayed
+    ``dropDuplicatesWithinWatermark`` output must equal the base corpus
+    row-for-row — keyed seen-state carried ACROSS batches, the third state
+    type in the exact-oracle streaming family (windowed agg state
+    c66/c78/c80, join state c86, dedup state here).
+
+    Copies are byte-identical rows, so which copy survives is immaterial;
+    the 35-day watermark covers the corpus' 30-day span, so no seen-key
+    expires before its redelivery arrives (the only way a duplicate could
+    leak through). 4 files at maxFilesPerTrigger=1 = 4 genuine batches,
+    redeliveries always in batches 3-4."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..streaming.windows import run_streaming_dedup_replay
+    from ..tmpdirs import ephemeral_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = ephemeral_dir("c87_drops_")
+    ckpt_dir = ephemeral_dir("c87_ckpt_")
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(drop_dir)
+        base_files = sorted(
+            f for f in os.listdir(drop_dir) if f.endswith(".parquet")
+        )
+        now = _time.time()
+        for fname in base_files:
+            src = os.path.join(drop_dir, fname)
+            os.utime(src, (now - 20.0, now - 20.0))
+            dst = os.path.join(drop_dir, f"redeliver_{fname}")
+            shutil.copyfile(src, dst)
+            os.utime(dst, (now, now))
+        out = run_streaming_dedup_replay(
+            spark,
+            drop_dir,
+            checkpoint=ckpt_dir,
+            sink_dir=ephemeral_dir("c87_state_"),
+            query_name=f"c87_out_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
+        )
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def c88_streaming_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator (``applyInPandasWithState``) under the
+    EXACT oracle: the per-user running ledger replayed across micro-batches
+    must end at the batch GROUP BY answer bit-for-bit. The state
+    accumulates INTEGER CENTS (HALF_UP shortest-repr, the ``cents()``
+    convention both engines share), so the running total is exact under
+    any batching/arrival order and the final ``cents/100.0`` double equals
+    ``CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)`` — promoting the
+    arbitrary-Python-state path (SURVEY's most custom streaming surface,
+    previously pytest-parity only) to driver-exact evidence. Update-mode
+    emissions land per-epoch (exactly-once), final state = max running
+    count per user; 4-file drop at maxFilesPerTrigger=1 = 4 genuine
+    batches of state carry-over."""
+    import shutil
+    import uuid
+
+    from ..streaming.stateful import streaming_user_ledger_exact
+    from ..tmpdirs import ephemeral_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = ephemeral_dir("c88_drops_")
+    ckpt_dir = ephemeral_dir("c88_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        out = streaming_user_ledger_exact(
+            spark,
+            drop_dir,
+            checkpoint=ckpt_dir,
+            sink_dir=ephemeral_dir("c88_state_"),
+            query_name=f"c88_out_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
+        )
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
@@ -581,6 +676,8 @@ QUERIES = {
     "c78_streaming_session": c78_streaming_session,
     "c80_streaming_sliding": c80_streaming_sliding,
     "c86_streaming_attribution": c86_streaming_attribution,
+    "c87_streaming_dedup": c87_streaming_dedup,
+    "c88_streaming_ledger": c88_streaming_ledger,
     "c44_session_funnel": c44_session_funnel,
     "c61_resample_ffill": c61_resample_ffill,
 }
@@ -629,6 +726,19 @@ ORACLE = {
     # the streaming replay's appended output must equal the batch interval
     # join exactly (watermark covers the replay's disorder — see the decl)
     "c86_streaming_attribution": _ATTRIBUTION_ORACLE,
+    # redelivered-drop dedup must reduce to exactly the base corpus
+    "c87_streaming_dedup": """
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type, value, props
+        FROM events
+    """,
+    # the custom stateful ledger's final state must equal the batch rollup
+    "c88_streaming_ledger": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM events GROUP BY user_id
+    """,
     "c69_retention_cohorts": """
         WITH active AS (
           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events

@@ -91,6 +91,95 @@ def streaming_user_ledger(
     )
 
 
+def _make_exact_ledger_fn():
+    """Exact-cents variant: state accumulates INTEGER cents (HALF_UP on
+    the shortest decimal repr — the same convention as
+    ``functions.exprs.cents`` / ``CAST(x AS DECIMAL(18,2))`` in both
+    engines), so the running total is partition-, batch- and
+    arrival-order-independent and the final ``cents / 100.0`` double is
+    bit-identical to ``CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)``
+    in Spark AND DuckDB. This is what promotes the custom-stateful path
+    from approximate-parity tests to the exact driver oracle (c88)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v) -> int:
+        # repr(float(...)): numpy scalars repr as "np.float64(x)" — always
+        # go through the plain float's shortest-repr
+        return int(
+            Decimal(repr(float(v)))
+            .quantize(Decimal("0.01"), ROUND_HALF_UP)
+            .scaleb(2)
+        )
+
+    def update_user_ledger(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            cents += sum(_cents(v) for v in pdf["value"])
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return update_user_ledger
+
+
+def streaming_user_ledger_exact(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    sink_dir: str,
+    query_name: str = "ledger_exact",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive the exact-cents stateful ledger over the files currently in
+    ``source_dir`` and return the FINAL per-user totals, never touching the
+    driver: update-mode emissions land per-epoch in ``sink_dir`` (overwrite
+    per epoch = exactly-once under retry, the ``_drive_append_mode``
+    convention), and the final state per user is the emission with the
+    highest running count — a keyed window over the small ledger output,
+    not over events."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    ledger = stream.groupBy("user_id").applyInPandasWithState(
+        _make_exact_ledger_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _land(batch_df: DataFrame, epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/epoch={epoch}")
+
+    q = (
+        ledger.writeStream.outputMode("update")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_land)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(f"{sink_dir}/epoch=*")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
 def batch_user_ledger(events: DataFrame) -> DataFrame:
     """Batch twin used by the parity test."""
     from pyspark.sql import functions as F

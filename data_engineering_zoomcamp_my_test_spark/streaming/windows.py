@@ -226,6 +226,37 @@ def run_streaming_attribution_replay(
     return _drive_append_mode(spark, joined, query_name, checkpoint, sink_dir)
 
 
+def run_streaming_dedup_replay(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    sink_dir: str,
+    query_name: str = "dedup_replay",
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "35 days",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay a bounded (at-least-once, duplicated) file-drop directory
+    through ``dropDuplicatesWithinWatermark`` and return the full appended
+    output — the driver-decl arm of ``run_streaming_dedup`` (which returns
+    a live memory-sink query).
+
+    Exactness domain: the keyed seen-state drops a redelivered copy iff
+    the key is still in state, so the output equals the DISTINCT-by-key
+    base corpus exactly when no key expires before its last redelivery
+    arrives — a watermark covering the replay's full time span guarantees
+    that under any slicing/arrival order. Copies are byte-identical rows,
+    so WHICH copy survives is immaterial to the result."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return _drive_append_mode(spark, deduped, query_name, checkpoint, sink_dir)
+
+
 def _sliding_agg(df: DataFrame, window: str, slide: str) -> DataFrame:
     return (
         df.groupBy(F.window("ts", window, slide).alias("w"))

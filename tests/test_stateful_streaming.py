@@ -57,3 +57,46 @@ def test_stateful_ledger_matches_batch(spark, sf_small, tmp_path):
     b = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in batch.collect()}
     assert s == b
     assert len(s) > 0
+
+
+def test_exact_ledger_matches_batch_bitwise(spark, sf_small, tmp_path):
+    """The c88 arm: integer-cents state makes the replayed custom-stateful
+    ledger equal the batch DECIMAL rollup BIT-FOR-BIT (not just to 2dp),
+    under a genuine multi-epoch replay (one file per trigger)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.stateful import (
+        streaming_user_ledger_exact,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "exact_src")
+    sink = str(tmp_path / "exact_sink")
+    events.repartition(4).write.parquet(src)
+
+    out = streaming_user_ledger_exact(
+        spark,
+        src,
+        checkpoint=str(tmp_path / "exact_ckpt"),
+        sink_dir=sink,
+        query_name="ledger_exact_t",
+        max_files_per_trigger=1,
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    s = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    b = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    # exact float equality is the point — no rounding on either side
+    assert s == b and len(s) > 0
+    epochs = [d for d in os.listdir(sink) if d.startswith("epoch=")]
+    assert len(epochs) >= 4, epochs

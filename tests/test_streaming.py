@@ -465,3 +465,45 @@ def test_streaming_attribution_replay_multi_batch_exact(spark, sf_small, tmp_pat
     assert any(
         part_of.get(p) != part_of.get(v) for _, p, v in got
     ), "all pairs co-located in one drop file"
+
+
+def test_streaming_dedup_replay_reduces_to_base_corpus(spark, sf_small, tmp_path):
+    """The c87 arm: every drop file redelivered once with a later mtime;
+    the replayed dropDuplicatesWithinWatermark output equals the base
+    corpus exactly, with redeliveries landing in later micro-batches
+    (pinned by the epoch-scoped sink layout)."""
+    import shutil
+    import time as _time
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_dedup_replay,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "c87_src")
+    sink = str(tmp_path / "c87_sink")
+    events.repartition(2).write.parquet(src)
+    now = _time.time()
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        p = os.path.join(src, fname)
+        os.utime(p, (now - 20.0, now - 20.0))
+        dst = os.path.join(src, f"redeliver_{fname}")
+        shutil.copyfile(p, dst)
+        os.utime(dst, (now, now))
+
+    out = run_streaming_dedup_replay(
+        spark,
+        src,
+        checkpoint=str(tmp_path / "c87_ckpt"),
+        sink_dir=sink,
+        query_name="c87_test",
+        max_files_per_trigger=1,
+    )
+    assert out.count() == events.count()  # 2x input rows -> base corpus
+    got = sorted(r.event_id for r in out.select("event_id").collect())
+    want = sorted(r.event_id for r in events.select("event_id").collect())
+    assert got == want
+    epochs = [d for d in os.listdir(sink) if d.startswith("epoch=")]
+    assert len(epochs) >= 4, epochs

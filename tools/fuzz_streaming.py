@@ -116,8 +116,13 @@ def _gen_attribution(rng: random.Random) -> dict:
 
 def _gen_dedup(rng: random.Random) -> dict:
     # dup_factor = how many times every drop file is redelivered (the
-    # at-least-once source contract: Kafka redelivery, file re-drops)
-    return {"dup_factor": rng.choice([2, 3])}
+    # at-least-once source contract: Kafka redelivery, file re-drops);
+    # sink draw referees both drive paths (memory query vs c87's
+    # epoch-scoped exactly-once parquet replay)
+    return {
+        "dup_factor": rng.choice([2, 3]),
+        "sink": rng.choice(["memory", "epoch_parquet"]),
+    }
 
 
 def _oracle_tumbling(p: dict) -> str:
@@ -397,8 +402,41 @@ def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
             shutil.copyfile(os.path.join(drop_dir, fname), dst)
             t = now + 2.0 * r
             os.utime(dst, (t, t))
+    proj_cols = lambda df: df.select(  # noqa: E731 - shared output shape
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value_2dp"),
+        "props",
+    )
     ckpt = tempfile.mkdtemp(prefix=f"sfuzz_ckpt_{tag}_")
+    sink = tempfile.mkdtemp(prefix=f"sfuzz_sink_{tag}_")
     try:
+        if p.get("sink") == "epoch_parquet":
+            from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+                run_streaming_dedup_replay,
+            )
+
+            out = run_streaming_dedup_replay(
+                spark,
+                drop_dir,
+                checkpoint=ckpt,
+                sink_dir=sink,
+                query_name=f"sfuzz_{tag}",
+                key_cols=("event_id",),
+                watermark=p["watermark"],
+                max_files_per_trigger=p["max_files_per_trigger"],
+            )
+            # epoch dirs = micro-batches actually run (data-carrying ones
+            # write rows; record dirs regardless — the multi-batch pin in
+            # CI uses the memory arm's progress counts)
+            out = proj_cols(out)
+            mat = spark.createDataFrame(out.collect(), out.schema)
+            LAST_BATCH_COUNTS[tag] = sum(
+                1 for d in os.listdir(sink) if d.startswith("epoch=")
+            )
+            return mat
         q = run_streaming_dedup(
             spark,
             drop_dir,
@@ -418,16 +456,10 @@ def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
             )
         finally:
             q.stop()
-        return spark.table(f"sfuzz_{tag}").select(
-            "event_id",
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_type",
-            F.col("value").cast("decimal(18,2)").cast("double").alias("value_2dp"),
-            "props",
-        )
+        return proj_cols(spark.table(f"sfuzz_{tag}"))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):

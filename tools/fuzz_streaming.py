@@ -51,6 +51,10 @@ campaign is what measured the boundary (r8):
   base corpus row-for-row.  Full-span watermarks only — a tight
   watermark late-drops redelivered copies of old events in append mode,
   the same late-input filter as session.
+- **custom stateful ledger (applyInPandasWithState, c88)**: exact for
+  EVERY draw — integer-cents state is accumulation-order-free and the
+  operator takes no watermark, so there is no exactness-domain
+  carve-out at all; any failing draw is a real state-machine bug.
 
 Every case derives from ``random.Random(f"{seed}:{i}")``:
 
@@ -216,12 +220,56 @@ def _oracle_dedup(p: dict) -> str:
     """
 
 
+def _gen_ledger(rng: random.Random) -> dict:
+    # no op-specific params: the point is the COMMON draws — n_files x
+    # max_files_per_trigger x arrival order. Integer-cents state makes the
+    # final ledger exact under EVERY combination (no watermark dependence,
+    # no exactness-domain carve-out) — any failure is a real state bug.
+    return {}
+
+
+def _oracle_ledger(p: dict) -> str:
+    # the custom stateful ledger's final state IS the batch rollup
+    return """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM events GROUP BY user_id
+    """
+
+
+def _run_ledger(spark, drop_dir: str, p: dict, tag: str):
+    from data_engineering_zoomcamp_my_test_spark.streaming.stateful import (
+        streaming_user_ledger_exact,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix=f"sfuzz_ckpt_{tag}_")
+    sink = tempfile.mkdtemp(prefix=f"sfuzz_sink_{tag}_")
+    try:
+        out = streaming_user_ledger_exact(
+            spark,
+            drop_dir,
+            checkpoint=ckpt,
+            sink_dir=sink,
+            query_name=f"sfuzz_{tag}",
+            max_files_per_trigger=p["max_files_per_trigger"],
+        )
+        LAST_BATCH_COUNTS[tag] = sum(
+            1 for d in os.listdir(sink) if d.startswith("epoch=")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 OPERATORS: dict[str, dict] = {
     "tumbling": {"gen": _gen_tumbling, "oracle": _oracle_tumbling},
     "sliding": {"gen": _gen_sliding, "oracle": _oracle_sliding},
     "session": {"gen": _gen_session, "oracle": _oracle_session},
     "attribution": {"gen": _gen_attribution, "oracle": _oracle_attribution},
     "dedup": {"gen": _gen_dedup, "oracle": _oracle_dedup},
+    "ledger": {"gen": _gen_ledger, "oracle": _oracle_ledger},
 }
 
 
@@ -493,6 +541,8 @@ def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
             df = _run_attribution(spark, drop_dir, p, tag)
         elif name == "dedup":
             df = _run_dedup(spark, drop_dir, p, tag)
+        elif name == "ledger":
+            df = _run_ledger(spark, drop_dir, p, tag)
         else:
             df = run_streaming_session_agg(
                 spark, drop_dir, gap=f"{p['gap_minutes']} minutes", **common

@@ -100,3 +100,62 @@ def test_exact_ledger_matches_batch_bitwise(spark, sf_small, tmp_path):
     assert s == b and len(s) > 0
     epochs = [d for d in os.listdir(sink) if d.startswith("epoch=")]
     assert len(epochs) >= 4, epochs
+
+
+def test_ledger_state_survives_query_restart(spark, sf_small, tmp_path):
+    """Crash-recovery pin for ARBITRARY Python state: the
+    applyInPandasWithState ledger's per-user (n, cents) tuples must be
+    restored from the checkpoint across a full query stop/start. Run 1
+    consumes half the drop files and stops; run 2 (fresh query object,
+    same checkpoint) consumes the rest and must CONTINUE the counts, so
+    the final state equals the batch rollup over ALL files bit-for-bit."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.stateful import (
+        streaming_user_ledger_exact,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "lr_src")
+    staged = str(tmp_path / "lr_staged")
+    sink = str(tmp_path / "lr_sink")
+    ckpt = str(tmp_path / "lr_ckpt")
+    events.repartition(4).write.parquet(staged)
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(parts) == 4
+    os.makedirs(src)
+    for fname in parts[:2]:
+        shutil.copyfile(os.path.join(staged, fname), os.path.join(src, fname))
+
+    streaming_user_ledger_exact(
+        spark, src, checkpoint=ckpt, sink_dir=sink,
+        query_name="lr_t", max_files_per_trigger=1,
+    ).collect()  # run 1: half the corpus
+
+    now = _time.time()
+    for fname in parts[2:]:
+        dst = os.path.join(src, fname)
+        shutil.copyfile(os.path.join(staged, fname), dst)
+        os.utime(dst, (now, now))
+    out = streaming_user_ledger_exact(
+        spark, src, checkpoint=ckpt, sink_dir=sink,
+        query_name="lr_t2", max_files_per_trigger=1,
+    )
+
+    batch = (
+        spark.read.parquet(staged)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    s = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    b = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert s == b and len(s) > 0

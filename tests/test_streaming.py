@@ -507,3 +507,61 @@ def test_streaming_dedup_replay_reduces_to_base_corpus(spark, sf_small, tmp_path
     assert got == want
     epochs = [d for d in os.listdir(sink) if d.startswith("epoch=")]
     assert len(epochs) >= 4, epochs
+
+
+def test_dedup_state_survives_query_restart(spark, sf_small, tmp_path):
+    """Crash-recovery pin: keyed dedup seen-state must be restored from
+    the CHECKPOINT across a full query stop/start. Run 1 consumes only
+    the base drop files and stops; the redelivered copies land AFTER the
+    restart, so a fresh query object (same checkpoint + epoch sink) must
+    dedup them against state it never built in its own lifetime. Output
+    equals the base corpus exactly; no epoch is double-appended."""
+    import shutil
+    import time as _time
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        EVENTS_DDL,
+        _drive_append_mode,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "restart_src")
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    events.repartition(2).write.parquet(src)
+    base_files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = stream.withWatermark(
+            "ts", "35 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        return _drive_append_mode(spark, deduped, "restart_t", ckpt, sink)
+
+    # run 1: base files only, runs to completion and stops
+    run_once()
+    epochs_run1 = {d for d in os.listdir(sink) if d.startswith("epoch=")}
+    assert len(epochs_run1) >= 2
+
+    # redeliver every base file with a later mtime, then RESTART
+    now = _time.time()
+    for fname in base_files:
+        dst = os.path.join(src, f"redeliver_{fname}")
+        shutil.copyfile(os.path.join(src, fname), dst)
+        os.utime(dst, (now, now))
+    out = run_once()
+
+    # all redelivered rows were dropped against restored state
+    assert out.count() == events.count()
+    got = sorted(r.event_id for r in out.select("event_id").collect())
+    want = sorted(r.event_id for r in events.select("event_id").collect())
+    assert got == want
+    # run 2 produced NEW epochs (resumed batch ids, no overwrite of run 1)
+    epochs_run2 = {d for d in os.listdir(sink) if d.startswith("epoch=")}
+    assert epochs_run1 < epochs_run2

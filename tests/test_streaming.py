@@ -565,3 +565,44 @@ def test_dedup_state_survives_query_restart(spark, sf_small, tmp_path):
     # run 2 produced NEW epochs (resumed batch ids, no overwrite of run 1)
     epochs_run2 = {d for d in os.listdir(sink) if d.startswith("epoch=")}
     assert epochs_run1 < epochs_run2
+
+
+def test_replay_drivers_restore_state_store_conf(spark, sf_small, tmp_path):
+    """_drive_append_mode swaps in the RocksDB state-store provider for
+    the query's duration; a leaked conf would silently re-provider every
+    later stateful query in the session. Pin restore on both the unset
+    and explicitly-set initial states."""
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_dedup_replay,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    events = load_table(spark, sf_small, "events").limit(200)
+    src = str(tmp_path / "conf_src")
+    events.repartition(2).write.parquet(src)
+
+    def replay(tag):
+        run_streaming_dedup_replay(
+            spark, src,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            sink_dir=str(tmp_path / f"sink_{tag}"),
+            query_name=f"conf_{tag}",
+        ).collect()
+
+    before = spark.conf.get(key, None)
+    replay("a")
+    assert spark.conf.get(key, None) == before
+
+    sentinel = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    spark.conf.set(key, sentinel)
+    try:
+        replay("b")
+        assert spark.conf.get(key) == sentinel
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)

@@ -1113,17 +1113,33 @@ def _build_jpeg_decoder():
         for seg_bytes in segments:
             if mcu_done >= n_mcu:
                 break
-            bits = int.from_bytes(seg_bytes, "big")
             total = len(seg_bytes) * 8
             pos = 0
             pred = [0] * len(order)
 
             def getbits(n):
+                # byte-cursor reader, same as the progressive path: a
+                # whole-segment int shifted per call is O(n^2) in
+                # entropy-segment size — a multi-MB single-segment scan
+                # from arbitrary corpus bytes would burn quadratic CPU
                 nonlocal pos
+                if n == 0:
+                    return 0
                 if pos + n > total:
                     return None
-                v = (bits >> (total - pos - n)) & ((1 << n) - 1)
-                pos += n
+                v = 0
+                p = pos
+                need = n
+                while need:
+                    avail = 8 - (p & 7)
+                    take = avail if avail < need else need
+                    shift = avail - take
+                    v = (v << take) | (
+                        (seg_bytes[p >> 3] >> shift) & ((1 << take) - 1)
+                    )
+                    p += take
+                    need -= take
+                pos = p
                 return v
 
             def readhuff(lut):

@@ -136,11 +136,15 @@ def streaming_user_ledger_exact(
 ) -> DataFrame:
     """Drive the exact-cents stateful ledger over the files currently in
     ``source_dir`` and return the FINAL per-user totals, never touching the
-    driver: update-mode emissions land per-epoch in ``sink_dir`` (overwrite
-    per epoch = exactly-once under retry, the ``_drive_append_mode``
-    convention), and the final state per user is the emission with the
-    highest running count — a keyed window over the small ledger output,
-    not over events."""
+    driver: update-mode emissions land per-epoch in ``sink_dir`` via the
+    shared ``_drive_append_mode`` driver (overwrite per epoch =
+    exactly-once under retry, RocksDB state store — the per-user ledger
+    state is key-cardinality-sized, exactly the case the heap-backed
+    default provider dies on at scale), and the final state per user is
+    the emission with the highest running count — a keyed window over the
+    small ledger output, not over events."""
+    from .windows import _drive_append_mode
+
     stream = (
         spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -153,25 +157,12 @@ def streaming_user_ledger_exact(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-    def _land(batch_df: DataFrame, epoch: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/epoch={epoch}")
-
-    q = (
-        ledger.writeStream.outputMode("update")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(_land)
-        .start()
+    out = _drive_append_mode(
+        spark, ledger, query_name, checkpoint, sink_dir, output_mode="update"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    out = spark.read.parquet(f"{sink_dir}/epoch=*")
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         out.withColumn("rn", F.row_number().over(w))

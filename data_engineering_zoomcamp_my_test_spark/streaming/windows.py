@@ -119,11 +119,12 @@ def _drive_append_mode(
     query_name: str,
     checkpoint: str,
     sink_dir: str,
+    output_mode: str = "append",
 ) -> DataFrame:
-    """Run an append-mode streaming plan to completion and return ALL rows
-    it emitted.
+    """Run an append- or update-mode streaming plan to completion and
+    return ALL rows it emitted.
 
-    Append output accumulates across epochs (unlike complete mode, where
+    Append/update output accumulates across epochs (unlike complete mode, where
     the last epoch IS the answer), so each micro-batch lands in an
     epoch-scoped parquet path with overwrite — a retried epoch replaces
     its own directory, never double-appends (the same exactly-once shape
@@ -146,7 +147,7 @@ def _drive_append_mode(
 
     try:
         q = (
-            out.writeStream.outputMode("append")
+            out.writeStream.outputMode(output_mode)
             .queryName(query_name)
             .option("checkpointLocation", checkpoint)
             .foreachBatch(_land)

@@ -380,8 +380,22 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
     }
+    # Streaming-replay decls EXECUTE a full multi-epoch streaming query
+    # inside the decl call and return a plain read of the landed sink —
+    # the batch plan inspected here would be an info-free parquet scan,
+    # while the call itself costs 4+ micro-batch lifecycles. Their
+    # streaming plans are hygiene-covered by their own tests
+    # (test_streaming.py / test_stateful_streaming.py) and the oracle
+    # parity layer still runs them end-to-end every suite.
+    STREAMING_REPLAYS = {
+        "c66_streaming_tumbling", "c78_streaming_session",
+        "c80_streaming_sliding", "c86_streaming_attribution",
+        "c87_streaming_dedup", "c88_streaming_ledger",
+    }
     violations = {}
     for name, fn in all_queries().items():
+        if name in STREAMING_REPLAYS:
+            continue
         plan = fn(spark, sf_small)._jdf.queryExecution().sparkPlan().toString()
         tags = set()
         if "EvalPython" in plan:

@@ -254,13 +254,29 @@ def _run_ledger(spark, drop_dir: str, p: dict, tag: str):
             query_name=f"sfuzz_{tag}",
             max_files_per_trigger=p["max_files_per_trigger"],
         )
-        LAST_BATCH_COUNTS[tag] = sum(
-            1 for d in os.listdir(sink) if d.startswith("epoch=")
-        )
+        LAST_BATCH_COUNTS[tag] = _data_epochs(sink)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def _data_epochs(sink: str) -> int:
+    """Number of DATA-CARRYING epochs in an epoch-scoped sink — empty
+    epoch dirs (no-data watermark ticks; foreachBatch runs for them too)
+    are excluded, matching LAST_BATCH_COUNTS' numInputRows>0 contract."""
+    import pyarrow.dataset as pads
+
+    n = 0
+    for d in os.listdir(sink):
+        if not d.startswith("epoch="):
+            continue
+        try:
+            if pads.dataset(os.path.join(sink, d)).count_rows() > 0:
+                n += 1
+        except Exception:  # noqa: BLE001 - unreadable epoch = not data
+            pass
+    return n
 
 
 OPERATORS: dict[str, dict] = {
@@ -476,14 +492,9 @@ def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
                 watermark=p["watermark"],
                 max_files_per_trigger=p["max_files_per_trigger"],
             )
-            # epoch dirs = micro-batches actually run (data-carrying ones
-            # write rows; record dirs regardless — the multi-batch pin in
-            # CI uses the memory arm's progress counts)
             out = proj_cols(out)
             mat = spark.createDataFrame(out.collect(), out.schema)
-            LAST_BATCH_COUNTS[tag] = sum(
-                1 for d in os.listdir(sink) if d.startswith("epoch=")
-            )
+            LAST_BATCH_COUNTS[tag] = _data_epochs(sink)
             return mat
         q = run_streaming_dedup(
             spark,

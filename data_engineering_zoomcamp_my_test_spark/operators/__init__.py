@@ -43,12 +43,12 @@ _PRIORITY = (
     # Tier A query-shaped decls
     "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
     # Tier B core SQL surface (B1-B28)
-    "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
-    "b5_approx_distinct", "b6_join_inner", "b7_join_multiway", "b8_join_left",
-    "b9_join_anti", "b10_join_range",
+    "b3_groupby_agg",
+    "b5_approx_distinct", "b7_join_multiway",
+    "b10_join_range",
     "b11_cross", "b12_subq_scalar", "b13_rollup", "b14_win_rank",
     "b15_win_lag", "b16_win_frame",
-    "b17_sort", "b18_topk",
+    "b17_sort",
     "b19_setops", "b20_case", "b21_string_fns",
     "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
     "b26_cte", "b27_having", "b28_array_fns",
@@ -148,10 +148,28 @@ _PRIORITY = (
     # round-robin with the SIX stalest greens — all from CORRECTNESS_r01:
     # b33/b34/b35/b36/b39/b40.  Remaining r1-era rows (b41/c17/c29) plus
     # the r2-era batch (c36/c43/c46) queue for round 12.
-    "c85_minhash_moments",
-    "b33_win_distribution", "b34_q3_shipping_priority",
-    "b35_q4_order_priority", "b36_q10_returned_items",
-    "b39_setops_all", "b40_null_safe_cmp",
+    # Round 12 (VERDICT r11 #1/#3): the seven r11 seats (all hash-green
+    # in CORRECTNESS_r11) rotate out.  Rule 1 takes priority: the EIGHT
+    # decls built in r11 after that round's window was fixed — the
+    # streaming trio c86/c87/c88 (the catalog's most novel state
+    # machines) and the TPC-H optimizer-stress shapes b50-b54 — seat
+    # NOW rather than spreading over two windows.  That needs 14 seats
+    # (8 rule-1 + the next 6 rule-3 stale rows: b41/c17/c29 from r1 and
+    # the r1 rows-only trio c27/c28/c33 whose hash families carry the
+    # c84/c85 exact moments twins), so the one-round widening repeats
+    # with a FIFTH distinct batch: b1_filter_pred/b2_project_expr/
+    # b4_distinct/b6_join_inner/b8_join_left/b9_join_anti/b18_topk
+    # (each driver-green EVERY round r1-r11 with untouched per-decl
+    # code) step out for exactly one round, covered meanwhile by the
+    # repo's own sf0.01/sf0.1 full-catalog parity sweeps, and return in
+    # round 13 under rule 2.  After this window seats green, driver
+    # evidence is back to the full catalog (145/145).
+    "c86_streaming_attribution", "c87_streaming_dedup",
+    "c88_streaming_ledger",
+    "b50_q13_custdist", "b51_q22_global_cust", "b52_q15_top_supplier",
+    "b53_q8_market_share", "b54_q11_value_share",
+    "b41_string_advanced", "c17_jaccard_pairs", "c29_incremental_dedup",
+    "c27_simhash", "c28_simhash_pairs", "c33_minhash_jvm",
 )
 
 

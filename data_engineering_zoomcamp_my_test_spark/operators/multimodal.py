@@ -444,15 +444,29 @@ def _build_lzw_decoder():
         if not 2 <= min_code <= 11:
             return None
         clear, end = 1 << min_code, (1 << min_code) + 1
-        bits = int.from_bytes(data, "little")
         total = len(data) * 8
         pos, size = 0, min_code + 1
         table = [(i,) for i in range(clear)] + [(), ()]
         prev = None
         out: list[int] = []
         while pos + size <= total:
-            code = (bits >> pos) & ((1 << size) - 1)
-            pos += size
+            # byte-cursor reader (LSB-first, per GIF89a appendix F): each
+            # code read is O(size) regardless of stream length — shifting a
+            # whole-stream big int per code (the previous form) made decode
+            # quadratic in sub-block stream length, so a crafted GIF full
+            # of CLEAR codes (which never reach the max_pixels break) could
+            # burn executor CPU inside the UDF.  Mirrors the MSB-first
+            # cursor in _build_jpeg_decoder's getbits.
+            code = 0
+            got = 0
+            p = pos
+            while got < size:
+                avail = 8 - (p & 7)
+                take = avail if avail < size - got else size - got
+                code |= ((data[p >> 3] >> (p & 7)) & ((1 << take) - 1)) << got
+                got += take
+                p += take
+            pos = p
             if code == end:
                 break
             if code == clear:

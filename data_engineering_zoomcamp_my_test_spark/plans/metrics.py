@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame
 _LOG = logging.getLogger(__name__)
 
 
+def _node_label(node) -> str:
+    """Best-effort JVM class name for debug logs.  Its own guard because
+    ``getClass()`` is a Py4J round-trip that can itself throw on a stale
+    JVM handle — a failing LABEL must never abort the metric walk that
+    was tolerating the node in the first place (ADVICE r11)."""
+    try:
+        return node.getClass().getSimpleName()
+    except Exception:  # noqa: BLE001 - stale/odd JVM handle
+        return type(node).__name__
+
+
 def _iter_children(node):
     ch = node.children()
     for i in range(ch.size()):
@@ -28,14 +39,13 @@ def _iter_children(node):
                 if inner is not None and inner is not node:
                     yield inner
             except Exception as exc:  # noqa: BLE001 - accessor shape varies by node
-                _LOG.debug(
-                    "plan-walk: %s.%s() unreadable (%s); subtree skipped",
-                    node.getClass().getSimpleName()
-                    if hasattr(node, "getClass")
-                    else type(node).__name__,
-                    accessor,
-                    exc,
-                )
+                if _LOG.isEnabledFor(logging.DEBUG):
+                    _LOG.debug(
+                        "plan-walk: %s.%s() unreadable (%s); subtree skipped",
+                        _node_label(node),
+                        accessor,
+                        exc,
+                    )
 
 
 def _walk(node, acc: dict[str, int]) -> None:
@@ -47,13 +57,12 @@ def _walk(node, acc: dict[str, int]) -> None:
             name = metric.name().get() if metric.name().isDefined() else kv._1()
             acc[name] = acc.get(name, 0) + metric.value()
     except Exception as exc:  # noqa: BLE001 - some wrapper nodes carry no metrics
-        _LOG.debug(
-            "plan-walk: metrics unreadable on %s (%s); node skipped",
-            node.getClass().getSimpleName()
-            if hasattr(node, "getClass")
-            else type(node).__name__,
-            exc,
-        )
+        if _LOG.isEnabledFor(logging.DEBUG):
+            _LOG.debug(
+                "plan-walk: metrics unreadable on %s (%s); node skipped",
+                _node_label(node),
+                exc,
+            )
     for child in _iter_children(node):
         _walk(child, acc)
 

@@ -114,13 +114,25 @@ def _make_exact_ledger_fn():
     def update_user_ledger(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, cents = state.get if state.exists else (0, 0)
+        n, cents, n_vals = state.get if state.exists else (0, 0, 0)
         for pdf in batches:
             n += len(pdf)
-            cents += sum(_cents(v) for v in pdf["value"])
-        state.update((n, cents))
+            # SQL SUM semantics: nulls/NaNs are skipped, not errors — a
+            # null events.value must not crash the query while the batch
+            # oracle's SUM(CAST(value AS DECIMAL)) silently ignores it
+            # (ADVICE r11).  n_vals tracks non-null count so an all-null
+            # group yields NULL, exactly as SUM does.
+            vals = pdf["value"]
+            vals = vals[vals.notna()]
+            n_vals += len(vals)
+            cents += sum(_cents(v) for v in vals)
+        state.update((n, cents, n_vals))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0 if n_vals else None],
+            }
         )
 
     return update_user_ledger
@@ -153,7 +165,7 @@ def streaming_user_ledger_exact(
     ledger = stream.groupBy("user_id").applyInPandasWithState(
         _make_exact_ledger_fn(),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType="n bigint, cents bigint",
+        stateStructType="n bigint, cents bigint, nvals bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -13,6 +13,8 @@ drive it synchronously.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,6 +24,16 @@ EVENTS_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
 )
+
+# Input-carrying micro-batch count (recentProgress entries with
+# numInputRows > 0) of the last ``_drive_append_mode`` run, keyed by query
+# name.  The streaming fuzzer's multi-batch pins read this instead of
+# counting data-carrying sink epochs: a redelivery batch in the dedup
+# replay CONSUMES input rows but emits zero output rows, so epoch-dir
+# counting under-counts genuinely multi-batch replays (ADVICE r11).
+# recentProgress retains the last ~100 updates (numRecentProgressUpdates),
+# so counts saturate there — far above any >=N multi-batch pin in use.
+LAST_RUN_BATCHES: dict[str, int] = {}
 
 
 def _windowed_agg(df: DataFrame, window: str) -> DataFrame:
@@ -155,6 +167,9 @@ def _drive_append_mode(
         )
         try:
             q.processAllAvailable()
+            LAST_RUN_BATCHES[query_name] = sum(
+                1 for pr in q.recentProgress if pr["numInputRows"] > 0
+            )
         finally:
             q.stop()
     finally:
@@ -163,7 +178,13 @@ def _drive_append_mode(
         else:
             spark.conf.set(provider_key, prev)
     # epoch=N dirs passed as explicit roots (glob), so no partition column
-    # is inferred into the result schema
+    # is inferred into the result schema.  An empty source directory
+    # produces zero epochs — return an empty frame of the plan's schema
+    # rather than letting the glob raise PATH_NOT_FOUND (ADVICE r11).
+    if not any(
+        d.startswith("epoch=") for d in (os.listdir(sink_dir) if os.path.isdir(sink_dir) else ())
+    ):
+        return spark.createDataFrame([], out.schema)
     return spark.read.parquet(f"{sink_dir}/epoch=*")
 
 

@@ -405,6 +405,41 @@ def test_lzw_roundtrip_random_streams():
             assert _lzw_decode(data, min_code, n) == seq
 
 
+def test_lzw_all_clear_stream_linear_time():
+    """A crafted stream of nothing but CLEAR codes emits zero pixels, so
+    the ``max_pixels`` break never fires — the only bound on work is the
+    bit reader itself.  The byte-cursor reader (ADVICE r11) is O(bits);
+    the previous whole-stream big-int shift was quadratic in stream
+    length and took minutes on this input.  Generous 10x margin over the
+    observed cursor-reader time so the pin only trips on a complexity
+    regression, not box noise."""
+    import time
+
+    from data_engineering_zoomcamp_my_test_spark.operators.multimodal import (
+        _lzw_decode,
+    )
+
+    min_code = 8
+    clear = 1 << min_code
+    size = min_code + 1
+    n_codes = 300_000
+    # Pack n_codes 9-bit CLEAR codes LSB-first (GIF89a appendix F order):
+    # bit j of the stream lands in byte j//8 at weight 1 << (j % 8).
+    buf = bytearray((n_codes * size + 7) // 8)
+    bitpos = 0
+    for _ in range(n_codes):
+        for b in range(size):
+            if (clear >> b) & 1:
+                buf[bitpos >> 3] |= 1 << (bitpos & 7)
+            bitpos += 1
+    data = bytes(buf)
+    t0 = time.perf_counter()
+    out = _lzw_decode(data, min_code, 1000)
+    elapsed = time.perf_counter() - t0
+    assert out == []  # clears only: no pixels, no END — drained the stream
+    assert elapsed < 5.0, f"all-CLEAR LZW stream took {elapsed:.1f}s"
+
+
 def test_decode_image_pixels_gif_matches_bmp(spark):
     import numpy as np
 

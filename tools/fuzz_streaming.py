@@ -254,29 +254,25 @@ def _run_ledger(spark, drop_dir: str, p: dict, tag: str):
             query_name=f"sfuzz_{tag}",
             max_files_per_trigger=p["max_files_per_trigger"],
         )
-        LAST_BATCH_COUNTS[tag] = _data_epochs(sink)
+        LAST_BATCH_COUNTS[tag] = _input_batches(f"sfuzz_{tag}")
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
 
 
-def _data_epochs(sink: str) -> int:
-    """Number of DATA-CARRYING epochs in an epoch-scoped sink — empty
-    epoch dirs (no-data watermark ticks; foreachBatch runs for them too)
-    are excluded, matching LAST_BATCH_COUNTS' numInputRows>0 contract."""
-    import pyarrow.dataset as pads
+def _input_batches(query_name: str) -> int:
+    """Input-carrying micro-batch count (numInputRows > 0) of the last
+    ``_drive_append_mode`` run under ``query_name`` — the SAME contract
+    as the memory-sink paths' recentProgress count.  Counting data-
+    carrying sink epochs instead under-counts dedup replays, whose
+    redelivery batches consume input rows but emit zero output rows
+    (ADVICE r11)."""
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        LAST_RUN_BATCHES,
+    )
 
-    n = 0
-    for d in os.listdir(sink):
-        if not d.startswith("epoch="):
-            continue
-        try:
-            if pads.dataset(os.path.join(sink, d)).count_rows() > 0:
-                n += 1
-        except Exception:  # noqa: BLE001 - unreadable epoch = not data
-            pass
-    return n
+    return LAST_RUN_BATCHES.get(query_name, 0)
 
 
 OPERATORS: dict[str, dict] = {
@@ -494,7 +490,7 @@ def _run_dedup(spark, drop_dir: str, p: dict, tag: str):
             )
             out = proj_cols(out)
             mat = spark.createDataFrame(out.collect(), out.schema)
-            LAST_BATCH_COUNTS[tag] = _data_epochs(sink)
+            LAST_BATCH_COUNTS[tag] = _input_batches(f"sfuzz_{tag}")
             return mat
         q = run_streaming_dedup(
             spark,

@@ -47,6 +47,26 @@ def test_fixed_seed_batch_matches_duckdb(spark, sf_small):
     assert len(out["per_op"]) >= len(OPERATORS) // 2 + 1, out["per_op"]
 
 
+def test_moments_drawers_fixed_seed_slice(spark, sf_small):
+    """The c84/c85 exact moments twins are the DuckDB certification of
+    the whole SimHash/MinHash rows-only family, and their oracles are
+    TEMPLATED over the drawn width parameters (bits / k / n_bands) —
+    regression-pin the width-fuzzed templating in CI, not only in
+    campaigns (VERDICT r11 #6).  The n=18 batch above draws operators at
+    random, so these two are pinned explicitly."""
+    out = run_campaign(
+        spark,
+        sf_small,
+        n=6,
+        seed=SEED,
+        ops=["simhash_moments", "minhash_moments"],
+    )
+    assert out["fail"] == 0, out["failures"]
+    assert out["err"] == 0, out["errors"]
+    assert out["ok"] == 6
+    assert set(out["per_op"]) == {"simhash_moments", "minhash_moments"}
+
+
 def test_chunk_windows_validates_coverage_contract(spark, sf_small):
     """stride outside [1, window] raises instead of silently skipping
     tokens / emitting the zero-token tail chunk whose representation is

@@ -118,6 +118,62 @@ def test_fixed_cheap_dedup_replay_matches_oracle(spark, sf_small):
     assert LAST_BATCH_COUNTS["ci_dedup"] >= 4, LAST_BATCH_COUNTS
 
 
+def test_fixed_epoch_parquet_dedup_counts_input_batches(spark, sf_small):
+    """Same replay through c87's epoch-scoped parquet sink.  Redelivery
+    batches consume input rows but emit ZERO output rows, so counting
+    data-carrying sink epochs under-counted multi-batch replays; the
+    count now comes from recentProgress numInputRows>0, same contract as
+    the memory path (ADVICE r11) — so the >=4 multi-batch pin holds on
+    this path too."""
+    from tests.oracle import compare
+    from tools.fuzz_streaming import LAST_BATCH_COUNTS
+
+    p = {
+        "dup_factor": 2,
+        "n_files": 2,
+        "max_files_per_trigger": 1,
+        "order": "hash",
+        "watermark": SESSION_SAFE_WATERMARKS[0],
+        "sink": "epoch_parquet",
+    }
+    df = run_case(spark, sf_small, "dedup", p, tag="ci_dedup_epoch")
+    res = compare(
+        "sfuzz_ci_dedup_epoch", df, OPERATORS["dedup"]["oracle"](p), sf_small
+    )
+    assert res.ok, res.mismatches
+    assert LAST_BATCH_COUNTS["ci_dedup_epoch"] >= 4, LAST_BATCH_COUNTS
+
+
+def test_fixed_attribution_epoch_replay_late_arrival(spark, sf_small):
+    """c86 parameter-space slice (VERDICT r11 #5): the epoch-scoped
+    exactly-once replay of the stream-STREAM interval join, with a
+    NON-default attribution window (45 min), reverse_time arrival (the
+    latest events land in the FIRST micro-batch, so every later batch
+    delivers join partners for state already resident on both sides) and
+    a full-span watermark — the adversarial corner of the exactness
+    domain, multi-batch pinned."""
+    from tests.oracle import compare
+    from tools.fuzz_streaming import LAST_BATCH_COUNTS
+
+    p = {
+        "attr_minutes": 45,
+        "n_files": 4,
+        "max_files_per_trigger": 1,
+        "order": "reverse_time",
+        "watermark": SESSION_SAFE_WATERMARKS[0],
+        "sink": "epoch_parquet",
+    }
+    df = run_case(spark, sf_small, "attribution", p, tag="ci_attr_epoch")
+    res = compare(
+        "sfuzz_ci_attr_epoch",
+        df,
+        OPERATORS["attribution"]["oracle"](p),
+        sf_small,
+    )
+    assert res.ok, res.mismatches
+    assert LAST_BATCH_COUNTS["ci_attr_epoch"] >= 4, LAST_BATCH_COUNTS
+
+
 def test_reverse_time_drops_have_deterministic_arrival_order(spark, sf_small, tmp_path):
     """ADVICE r8: reverse_time must actually EXERCISE latest-events-first.
 

@@ -416,7 +416,9 @@ def _run_attribution(spark, drop_dir: str, p: dict, tag: str):
             )
             # materialize before the sink dir is reclaimed below
             out = proj(out)
-            return spark.createDataFrame(out.collect(), out.schema)
+            mat = spark.createDataFrame(out.collect(), out.schema)
+            LAST_BATCH_COUNTS[tag] = _input_batches(f"sfuzz_{tag}")
+            return mat
         q = run_streaming_attribution_join(
             spark,
             drop_dir,

@@ -35,6 +35,14 @@ EVENTS_DDL = (
 # so counts saturate there — far above any >=N multi-batch pin in use.
 LAST_RUN_BATCHES: dict[str, int] = {}
 
+# Peak state-operator footprint of the last ``_drive_append_mode`` run,
+# keyed by query name: {"rows": max numRowsTotal summed across state
+# operators in any progress tick, "bytes": max memoryUsedBytes likewise}.
+# This is how the decade evidence records "N keys of RocksDB state" from
+# the query's own metrics instead of inferring it from corpus arithmetic
+# (VERDICT r11 #7).
+LAST_RUN_STATE: dict[str, dict[str, int]] = {}
+
 
 def _windowed_agg(df: DataFrame, window: str) -> DataFrame:
     return (
@@ -170,6 +178,16 @@ def _drive_append_mode(
             LAST_RUN_BATCHES[query_name] = sum(
                 1 for pr in q.recentProgress if pr["numInputRows"] > 0
             )
+            peak_rows = peak_bytes = 0
+            for pr in q.recentProgress:
+                ops = pr.get("stateOperators") or ()
+                peak_rows = max(
+                    peak_rows, sum(op.get("numRowsTotal", 0) for op in ops)
+                )
+                peak_bytes = max(
+                    peak_bytes, sum(op.get("memoryUsedBytes", 0) for op in ops)
+                )
+            LAST_RUN_STATE[query_name] = {"rows": peak_rows, "bytes": peak_bytes}
         finally:
             q.stop()
     finally:

@@ -1076,6 +1076,274 @@ def b54_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q11_value_share(_t(spark, sf_dir, "lineitem"), mult=1.5)
 
 
+# --- round 12: the six remaining classic TPC-H optimizer-stress shapes ------
+# The corpus has no partsupp table and no l_shipmode/l_commitdate/
+# l_receiptdate columns, so Q2/Q9/Q16/Q20 derive the part-supplier relation
+# from lineitem and Q12/Q21 substitute the missing comparison columns with
+# schema-available ones — the OPTIMIZER shape of each query (correlated-min
+# join-back, NOT IN anti join, nested semi chains, fact self-joins) is what
+# each decl preserves and stresses, not the TPC-H answer values.
+
+
+def b55_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): for each qualifying part, the
+    supplier(s) in one region offering the MINIMUM quoted price, via a
+    correlated-min subquery re-expressed as aggregate + equality
+    join-back. The part-supplier "catalog" is derived from lineitem
+    (MIN(l_extendedprice) per (l_partkey, l_suppkey) — MIN is
+    partition-order free, so no decimal-sum machinery is needed). The
+    region gate (region=5 rows -> nation=25 rows) broadcasts into the
+    supplier side BEFORE the per-part min, exactly like Q2's correlated
+    subquery scopes its min to regional suppliers; the per-part min is a
+    second keyed aggregate over the (already small) catalog, and the
+    join-back is on (partkey, exact-decimal price equality). Final order
+    carries the unique (p_partkey, s_suppkey) tiebreak so the LIMIT set
+    is engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 40)
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rsupp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    catalog = (
+        li.join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(money("l_extendedprice")).alias("_cost"))
+    )
+    min_cost = catalog.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("_cost").alias("_min_cost")
+    )
+    winners = catalog.join(
+        min_cost,
+        (F.col("l_partkey") == F.col("_mk"))
+        & (F.col("_cost") == F.col("_min_cost")),
+    )
+    return (
+        winners.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            F.col("_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+def b56_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): a LIKE-filtered part dimension
+    pruning a 5-table join (lineitem -> part -> supplier -> nation +
+    orders for the year), aggregating a profit expression that mixes
+    columns from THREE tables — revenue minus a per-unit cost drawn from
+    the part dimension (p_retailprice stands in for the absent
+    ps_supplycost). Profit stays DECIMAL to the money grain until after
+    the per-group sum (partition-order free); grouping is (nation,
+    year) — tiny key domain, so the final shuffle moves almost nothing
+    and all the work is the map-side partial aggregate over the pruned
+    join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = money("l_extendedprice") * (F.lit(1) - money("l_discount")) - (
+        money("p_retailprice") * money("l_quantity")
+    )
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dmoney_sum_grain(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def b57_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-mode priority classes): the fact-dimension
+    join whose AGGREGATE is two conditional counts classifying the
+    JOINED side's attribute (order priority) while grouping on the fact
+    side's attribute (l_returnflag standing in for the absent
+    l_shipmode), over a one-year window with a cross-table comparison
+    (l_shipdate > o_orderdate — shipped after booking, the schema's
+    stand-in for receipt>commit). The CASE classification must happen
+    AFTER the join but inside the partial aggregate — no pre-aggregation
+    is possible on either input, the canonical Q12 stress."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    li = li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def b58_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship): COUNT(DISTINCT supplier)
+    per (brand, type, size) over the part-supplier relation (derived
+    from lineitem), with NEGATED dimension filters (<>) and a NOT IN
+    subquery excluding a supplier blacklist (negative account balance
+    standing in for the comment-LIKE). The NOT IN compiles to a
+    null-aware anti join on the tiny blacklist (broadcast); the
+    distinct-count forces a two-phase aggregate (dedup shuffle on
+    group+supp, then count) — the canonical Q16 stress. Descending
+    count order with full key tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    blacklist = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def b59_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): a nested SEMI-JOIN chain —
+    suppliers selected because SOME (part, supplier) pair of theirs
+    passes a quantity threshold derived from an aggregate, parts
+    pre-filtered by name LIKE, suppliers post-filtered by nation. The
+    per-pair sum replaces Q20's partsupp availability check; the
+    threshold is scale-invariant (2x the global mean pair quantity,
+    a one-row broadcast like b54's) so the decl has stable selectivity
+    at every SF. Supplier identities flow through DISTINCT semi joins
+    only — no supplier row is ever duplicated by the fact join, the
+    property Q20's EXISTS nesting exists to guarantee."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01"))
+    )
+    pair_qty = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    mean_qty = pair_qty.agg(
+        (F.sum("_qty") / F.count(F.lit(1))).alias("_mean_qty")
+    )
+    qualifying = (
+        pair_qty.crossJoin(F.broadcast(mean_qty))
+        .filter(F.col("_qty") > F.lit(2.0) * F.col("_mean_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "semi")
+        .select("s_suppkey", "s_name", F.col("s_acctbal").alias("acctbal"))
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+def b60_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the fact table
+    joined against ITSELF twice under one grouping key — an EXISTS
+    (another supplier contributed to the same order) and a NOT EXISTS
+    (no OTHER supplier's line was returned), blaming the sole returning
+    supplier of finalized multi-supplier orders. l_returnflag = 'R'
+    stands in for the absent receipt>commit lateness predicate; the
+    self-semi and self-anti joins both key on l_orderkey (the same
+    shuffle partitioning, reused across all three branches under AQE),
+    with the supplier-inequality as a post-join filter — the canonical
+    Q21 plan. Descending count with (s_name, s_suppkey) tiebreak,
+    LIMIT 100."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "semi")
+        .select(
+            F.col("l_orderkey").alias("_ok"),
+            F.col("l_suppkey").alias("_sk"),
+            F.col("l_linenumber").alias("_ln"),
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    blamed = l1.join(
+        l2,
+        (F.col("_ok") == F.col("_ok2")) & (F.col("_sk") != F.col("_sk2")),
+        "semi",
+    ).join(
+        l3,
+        (F.col("_ok") == F.col("_ok3")) & (F.col("_sk") != F.col("_sk3")),
+        "anti",
+    )
+    return (
+        blamed.join(supplier, F.col("_sk") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "b1_filter_pred": b1_filter_pred,
     "b46_q18_big_orders": b46_q18_big_orders,
@@ -1124,6 +1392,12 @@ QUERIES = {
     "b52_q15_top_supplier": b52_q15_top_supplier,
     "b53_q8_market_share": b53_q8_market_share,
     "b54_q11_value_share": b54_q11_value_share,
+    "b55_q2_min_cost_supplier": b55_q2_min_cost_supplier,
+    "b56_q9_profit_by_nation_year": b56_q9_profit_by_nation_year,
+    "b57_q12_priority_class": b57_q12_priority_class,
+    "b58_q16_supplier_cnt": b58_q16_supplier_cnt,
+    "b59_q20_semi_chain": b59_q20_semi_chain,
+    "b60_q21_waiting_suppliers": b60_q21_waiting_suppliers,
 }
 
 _MONEY = "DECIMAL(18,2)"
@@ -1550,4 +1824,118 @@ ORACLE = {
         FROM vols GROUP BY o_year ORDER BY o_year
     """,
     "b54_q11_value_share": q11_value_share_oracle_sql(1.5),
+    "b55_q2_min_cost_supplier": """
+        WITH rsupp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+        ),
+        catalog AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+          FROM lineitem
+          JOIN rsupp ON l_suppkey = s_suppkey
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+               CAST(cost AS DOUBLE) AS supply_cost
+        FROM catalog
+        JOIN part ON l_partkey = p_partkey
+        JOIN rsupp ON l_suppkey = s_suppkey
+        WHERE p_type = 'LARGE' AND p_size >= 40
+          AND cost = (
+            SELECT MIN(c2.cost) FROM catalog c2
+            WHERE c2.l_partkey = catalog.l_partkey
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    "b56_q9_profit_by_nation_year": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(SUM(
+                 {_REV}
+                 - CAST(p_retailprice AS {_MONEY})
+                   * CAST(l_quantity AS {_MONEY})
+               ), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    "b57_q12_priority_class": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "b58_q16_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "b59_q20_semi_chain": """
+        WITH pair_qty AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%blue%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        m AS (SELECT SUM(qty) / COUNT(*) AS mean_qty FROM pair_qty)
+        SELECT s_suppkey, s_name, s_acctbal AS acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM pair_qty, m WHERE qty > 2.0 * mean_qty
+          )
+          AND s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%'
+          )
+        ORDER BY s_name, s_suppkey
+    """,
+    "b60_q21_waiting_suppliers": """
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+          )
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_name, s_suppkey
+        LIMIT 100
+    """,
 }

@@ -36,7 +36,11 @@ DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
          # b54's 1.5x-mean cut — each must pick the SAME rows under any
          # accumulation order
          "b51_q22_global_cust", "b52_q15_top_supplier",
-         "b54_q11_value_share"]
+         "b54_q11_value_share",
+         # r12 shapes: b55's decimal-min equality join-back and b59's
+         # 2x-mean pair-quantity cut must pick the SAME winner/supplier
+         # sets under any accumulation order
+         "b55_q2_min_cost_supplier", "b59_q20_semi_chain"]
 
 # (files.maxPartitionBytes, shuffle.partitions): one coarse layout (every
 # table a single split, single reducer) and one absurdly fine one (64 KiB

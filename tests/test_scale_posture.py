@@ -377,6 +377,7 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c79_pmi_collocations": {"bnlj"},  # 1-row corpus-totals attach
         "b51_q22_global_cust": {"bnlj"},  # 1-row global-avg scalar attach
         "b54_q11_value_share": {"bnlj"},  # 1-row global-rollup attach
+        "b59_q20_semi_chain": {"bnlj"},  # 1-row mean-qty scalar attach
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
     }
@@ -535,3 +536,78 @@ def test_q8_market_share_broadcasts_fixed_dims_only(spark, sf_small):
         line for line in plan.splitlines() if "PushedFilters" in line
     ]
     assert any("o_orderdate" in line for line in pushed), pushed
+
+
+def test_q2_catalog_reused_and_joinback_keyed(spark, sf_small):
+    """b55: the region-scoped (part, supplier) price catalog feeds BOTH
+    the per-part min and the winner join-back — one materialized catalog
+    stage (AQE reuse), and the min-equality join-back stays a keyed hash
+    join (a theta join would go nested-loop over the catalog)."""
+    df = all_queries()["b55_q2_min_cost_supplier"](spark, sf_small)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_q9_profit_fixed_dims_broadcast_no_bnlj(spark, sf_small):
+    """b56: nation broadcasts by hint; the LIKE-filtered part and the
+    growing supplier dim are left to AQE (broadcast while they fit,
+    demotable at 100x); nothing goes nested-loop."""
+    df = all_queries()["b56_q9_profit_by_nation_year"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q12_date_window_pushed_to_fact_scan(spark, sf_small):
+    """b57: the one-year ship-date window must reach the lineitem scan as
+    pushed predicates — the join sees a year of lines, not the table —
+    while the cross-table l_shipdate > o_orderdate comparison stays a
+    post-join filter (not a nested-loop join condition)."""
+    df = all_queries()["b57_q12_priority_class"](spark, sf_small)
+    plan = explain_str(df, "formatted")
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("l_shipdate" in line for line in pushed), pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_blacklist_anti_join_broadcasts(spark, sf_small):
+    """b58: the NOT IN supplier blacklist compiles to a broadcast
+    LeftAnti against the fact side, and the distinct-count runs as the
+    two-phase partial/final aggregate (HashAggregate pairs), never a
+    cartesian."""
+    df = all_queries()["b58_q16_supplier_cnt"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_supplier_flows_through_semi_joins_only(spark, sf_small):
+    """b59: supplier rows reach the output through LeftSemi joins only —
+    the fact join can never duplicate a supplier row (Q20's EXISTS
+    guarantee). The one BroadcastNestedLoopJoin is the documented 1-row
+    mean-qty scalar attach."""
+    df = all_queries()["b59_q20_semi_chain"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_self_joins_share_orderkey_shuffle(spark, sf_small):
+    """b60: the EXISTS and NOT EXISTS fact self-joins both key on
+    l_orderkey with the supplier inequality as a residual condition —
+    LeftSemi + LeftAnti hash/merge joins, never a nested loop over the
+    fact table."""
+    df = all_queries()["b60_q21_waiting_suppliers"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -699,6 +699,147 @@ def c32_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITER = 8
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = PAGERANK_ITER,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) as an iterative
+    DataFrame computation — the catalog's second iterative-graph operator
+    after connected components (dedup.connected_components_star).
+
+    r_{i+1}(v) = (1-d)/N + d * SUM_{(u,v) in E} r_i(u) / outdeg(u)
+
+    Per iteration: ONE shuffle join (ranks ⋈ edges on src — edges carry
+    their outdeg from a pre-loop join, so the loop body is join + one
+    dst-keyed partial-aggregating shuffle). ``localCheckpoint`` truncates
+    the lineage each round, exactly like the CC operator — without it the
+    plan depth grows linearly and re-executes every prior round. Edges are
+    checkpointed ONCE before the loop so the (possibly expensive) edge
+    derivation never re-runs per iteration. N reaches every row as a
+    broadcast one-row cross join, not a driver-collected literal.
+
+    Nodes with no inbound edges get the teleport mass (1-d)/N via the
+    left join + coalesce(0); dangling-node mass is NOT redistributed
+    (no out-edges ⇒ their rank leaks) — callers wanting classic
+    dangling handling pass a symmetric edge set, where dangling nodes
+    cannot exist. Fixed iteration count (not convergence-tested) keeps
+    the result deterministic and oracle-expressible.
+    """
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    eout = edges.join(deg, src_col).localCheckpoint()
+    teleport = 1.0 - damping
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select(node_col, (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        contribs = eout.join(
+            ranks.withColumnRenamed(node_col, src_col), src_col
+        ).select(
+            F.col(dst_col).alias(node_col),
+            (F.col("rank") / F.col("outdeg")).alias("contrib"),
+        )
+        sums = contribs.groupBy(node_col).agg(F.sum("contrib").alias("s"))
+        ranks = (
+            nodes.join(sums, node_col, "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                node_col,
+                (
+                    F.lit(teleport) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def c90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph: parts are nodes, with an
+    edge whenever two distinct parts appear in the same order (lineitem
+    self-join on l_orderkey, both directions, deduped). The graph is
+    symmetric by construction, so every node has out-edges (no dangling
+    mass) and the vertex set is exactly DISTINCT src.
+
+    Scale posture: the self-join is keyed on l_orderkey (pairs per order
+    are O(items_per_order²) — bounded by order size, never corpus size);
+    the 8 fixed iterations each shuffle the edge relation once on src and
+    the contribution sums once on dst. Float sums differ across partition
+    orders at the last ulp, so the contract rounds to 6 decimals — same
+    convention as c37/c42/c69."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    pr = pagerank(nodes, edges)
+    return pr.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def _pagerank_oracle_sql(
+    n_iter: int = PAGERANK_ITER, damping: float = PAGERANK_DAMPING
+) -> str:
+    """Unrolled-iteration DuckDB oracle for c90 — recursive CTEs cannot
+    aggregate over the recursive reference (PostgreSQL-family restriction),
+    so the fixed iteration count is unrolled into chained CTEs. The
+    teleport literal is generated from the SAME Python float the Spark
+    side computes (repr-roundtrip), so both engines add bit-identical
+    constants."""
+    teleport = repr(1.0 - damping)
+    parts = [
+        """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey
+        ),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        nn AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        s{i} AS (
+          SELECT e.dst AS node, SUM(r{i - 1}.rank / deg.outdeg) AS s
+          FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+                 JOIN deg ON deg.src = e.src
+          GROUP BY e.dst
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 {teleport} / nn.n
+                   + {damping!r} * COALESCE(s{i}.s, 0.0) AS rank
+          FROM nodes LEFT JOIN s{i} USING (node) CROSS JOIN nn
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT node, ROUND(rank, 6) AS pagerank FROM r{n_iter}"
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "c32_profile": c32_profile,
     "c23_asof_join": c23_asof_join,
@@ -725,11 +866,13 @@ QUERIES = {
     "c81_group_trend": c81_group_trend,
     "c82_winsorize": c82_winsorize,
     "c83_orphan_audit": c83_orphan_audit,
+    "c90_pagerank": c90_pagerank,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
 ORACLE = {
+    "c90_pagerank": _pagerank_oracle_sql(),
     "c73_stratified_sample_exact": """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,

@@ -661,6 +661,62 @@ def c88_streaming_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def c89_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (latest-row-per-key upsert) under the EXACT oracle:
+    events land as 4 drop files, replay at maxFilesPerTrigger=1 (4 genuine
+    micro-batches of state carry-over), and the FIRST file is then
+    REDELIVERED with a later mtime (a 5th, at-least-once batch) — the
+    final state table must equal the batch latest-per-user answer
+    row-for-row. Latest-wins is the total order (ts DESC, event_id DESC),
+    so the merge is idempotent under redelivery and independent of
+    batching — the CDC/upsert sink family (Delta MERGE INTO semantics),
+    fourth member of the exact-oracle streaming family (windowed-agg
+    state c66/c78/c80, join state c86, dedup state c87, custom ledger
+    state c88)."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..streaming.windows import run_streaming_latest_state_replay
+    from ..tmpdirs import ephemeral_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    drop_dir = ephemeral_dir("c89_drops_")
+    ckpt_dir = ephemeral_dir("c89_ckpt_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        base_files = sorted(
+            f for f in os.listdir(drop_dir) if f.endswith(".parquet")
+        )
+        now = _time.time()
+        for fname in base_files:
+            os.utime(
+                os.path.join(drop_dir, fname), (now - 20.0, now - 20.0)
+            )
+        first = os.path.join(drop_dir, base_files[0])
+        redeliver = os.path.join(drop_dir, f"redeliver_{base_files[0]}")
+        shutil.copyfile(first, redeliver)
+        os.utime(redeliver, (now, now))
+        out = run_streaming_latest_state_replay(
+            spark,
+            drop_dir,
+            checkpoint=ckpt_dir,
+            state_dir=ephemeral_dir("c89_state_"),
+            query_name=f"c89_out_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
+        )
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 QUERIES = {
     "c7_tumbling": c7_tumbling,
     "c66_streaming_tumbling": c66_streaming_tumbling,
@@ -678,6 +734,7 @@ QUERIES = {
     "c86_streaming_attribution": c86_streaming_attribution,
     "c87_streaming_dedup": c87_streaming_dedup,
     "c88_streaming_ledger": c88_streaming_ledger,
+    "c89_streaming_upsert": c89_streaming_upsert,
     "c44_session_funnel": c44_session_funnel,
     "c61_resample_ffill": c61_resample_ffill,
 }
@@ -731,6 +788,20 @@ ORACLE = {
         SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                event_type, value, props
         FROM events
+    """,
+    # the upsert table's final state must equal the batch latest-per-user
+    # answer under the shared (ts DESC, event_id DESC) total order
+    "c89_streaming_upsert": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) t WHERE rn = 1
     """,
     # the custom stateful ledger's final state must equal the batch rollup
     "c88_streaming_ledger": """

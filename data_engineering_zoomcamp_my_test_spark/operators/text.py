@@ -185,6 +185,124 @@ def c37_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 ranking constants — the Robertson/Lucene defaults. The query-term
+# set is a fixed catalog constant so the decl is deterministic; terms
+# absent from a given corpus simply contribute no (doc, term) rows.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("vector", "merge", "window", "stream")
+
+
+def bm25_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the retrieval scorer a training-data pipeline runs for quality-biased
+    sampling ("docs most like the eval set"). Lucene's positive-idf
+    variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale posture: token explode is corpus-sized but immediately
+    semi-joined to the BROADCAST query-term list, so the (doc, term)
+    relation that shuffles is |docs| x |query| at most, never the full
+    token stream; df and the corpus stats (N, avgdl) attach as broadcast
+    one-row / term-count frames. All expression work is JVM-side
+    (whole-stage codegen), no UDFs."""
+    q = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = (
+        toks.join(F.broadcast(q), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df per query term: tf is one row per (doc, term), so count(*) = df
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    one_minus_b = 1.0 - b
+    contrib = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(one_minus_b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+
+
+def c91_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_oracle_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB oracle for c91. Float literals (k1+1, 1-b, ...) are generated
+    from the SAME Python floats the Spark side passes as lit()s
+    (repr-roundtrip), so both engines evaluate bit-identical constants;
+    the ≤|query|-term sum per doc differs only in association order,
+    absorbed by ROUND 6 — the catalog's float-parity convention."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+          WHERE tok IN ({terms}) GROUP BY 1, 2
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        dl AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+          FROM documents
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 AVG(len(string_split(text, ' '))) AS avgdl
+          FROM documents
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                 ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - df.df + 0.5)
+                          / (df.df + 0.5))
+                 * (tf.tf * {k1 + 1.0!r})
+                 / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    """
+
+
 def c20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.withColumn("norm_text", normalized_text("text")).select(
@@ -808,6 +926,7 @@ QUERIES = {
     "c30_vocab": c30_vocab,
     "c31_scrub_pii": c31_scrub_pii,
     "c37_tfidf_top_term": c37_tfidf_top_term,
+    "c91_bm25": c91_bm25,
     "c58_repetition_stats": c58_repetition_stats,
     "c59_shard_assign": c59_shard_assign,
     "c60_mixture_weights": c60_mixture_weights,
@@ -825,6 +944,7 @@ _NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
 _HITS = f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)"
 
 ORACLE = {
+    "c91_bm25": _bm25_oracle_sql(),
     "c79_pmi_collocations": """
         WITH t AS (
           SELECT string_split(text, ' ') AS toks,

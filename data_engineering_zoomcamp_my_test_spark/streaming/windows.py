@@ -297,6 +297,92 @@ def run_streaming_dedup_replay(
     return _drive_append_mode(spark, deduped, query_name, checkpoint, sink_dir)
 
 
+def run_streaming_latest_state_replay(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    state_dir: str,
+    query_name: str = "latest_state",
+    key_col: str = "user_id",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming MERGE that maintains a latest-row-per-key table across
+    micro-batches — the foreachBatch stand-in for Delta's
+    ``MERGE INTO ... WHEN MATCHED UPDATE`` on a CDC/upsert feed.
+
+    Determinism + exactly-once come from two choices:
+
+    - **latest-wins is a total order**: within every merge the winning row
+      per key is argmax over (ts, event_id), so the final table is
+      independent of batching, arrival order, and REDELIVERY (merging the
+      same rows twice is a no-op) — unlike ``dropDuplicates`` whose
+      survivor is partition-order arbitrary.
+    - **epoch-versioned state**: ``state_dir/epoch=N`` is computed from
+      the newest epoch < N plus batch N and overwritten in place, so a
+      crashed/retried epoch rebuilds exactly the state it would have
+      built — the same epoch-scoped idempotence shape as
+      ``_drive_append_mode``, applied to a keyed table instead of an
+      append log.
+
+    Scale posture: each merge is one window shuffle keyed on ``key_col``
+    over (previous state ∪ batch). Rewriting full state per epoch is the
+    copy-on-write posture; at 100 TB state you'd bucket the table by key
+    and rewrite only the buckets the batch touches (or use a real Delta/
+    Iceberg MERGE) — the merge ORDER semantics here are exactly what that
+    engine would apply."""
+    from pyspark.sql.window import Window
+
+    def _epochs() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=")
+        )
+
+    def _reduce(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _merge(batch_df: DataFrame, epoch: int) -> None:
+        sess = batch_df.sparkSession
+        prev = [e for e in _epochs() if e < epoch]
+        cur = _reduce(batch_df)
+        if prev:
+            base = sess.read.parquet(f"{state_dir}/epoch={max(prev)}")
+            cur = _reduce(base.unionByName(cur))
+        cur.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch}")
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    q = (
+        stream.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        LAST_RUN_BATCHES[query_name] = sum(
+            1 for pr in q.recentProgress if pr["numInputRows"] > 0
+        )
+    finally:
+        q.stop()
+    done = _epochs()
+    if not done:
+        return spark.createDataFrame([], stream.schema)
+    return spark.read.parquet(f"{state_dir}/epoch={done[-1]}")
+
+
 def _sliding_agg(df: DataFrame, window: str, slide: str) -> DataFrame:
     return (
         df.groupBy(F.window("ts", window, slide).alias("w"))

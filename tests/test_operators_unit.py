@@ -1261,3 +1261,81 @@ def test_pair_list_safety_valve_warns_and_strict_raises(spark, monkeypatch, capl
     assert any("quadratic" in r.message for r in caplog.records)
     with pytest.raises(ValueError, match="quadratic in the copy count"):
         dedup.token_jaccard_pairs(df2, threshold=0.9, strict_scale=True)
+
+
+def test_pagerank_known_graph_matches_reference_iteration(spark):
+    """PageRank on a 3-node path graph (1-2, 2-3, symmetric) must equal a
+    plain-Python reference iteration of the same fixed-point formula, and
+    conserve total mass (symmetric graph => no dangling leak)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    got = {
+        r.node: r.rank for r in pagerank(nodes, edges, n_iter=8).collect()
+    }
+
+    # reference: same formula, dict arithmetic
+    outdeg = {1: 1, 2: 2, 3: 1}
+    nbrs_in = {1: [2], 2: [1, 3], 3: [2]}
+    ranks = {v: 1.0 / 3 for v in (1, 2, 3)}
+    for _ in range(8):
+        ranks = {
+            v: 0.15 / 3 + 0.85 * sum(ranks[u] / outdeg[u] for u in nbrs_in[v])
+            for v in (1, 2, 3)
+        }
+    for v in (1, 2, 3):
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # symmetry of the path: endpoints tie, middle node dominates
+    assert abs(got[1] - got[3]) < 1e-12 and got[2] > got[1]
+
+
+def test_pagerank_isolated_node_gets_teleport_only(spark):
+    """A node with no inbound edges must keep exactly the teleport share
+    (1-d)/N each round — the nodes-left-join + coalesce(0) arm."""
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    got = {
+        r.node: r.rank for r in pagerank(nodes, edges, n_iter=3).collect()
+    }
+    assert abs(got[3] - 0.15 / 3) < 1e-12
+    # node 1 has no inbound either: teleport only
+    assert abs(got[1] - 0.15 / 3) < 1e-12
+    assert got[2] > got[1]
+
+
+def test_bm25_hand_computed_tiny_corpus(spark):
+    """BM25 against a hand-computed two-doc corpus: exact Lucene-variant
+    idf and length normalization, docs without query terms absent."""
+    import math
+
+    from data_engineering_zoomcamp_my_test_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge merge scan"),       # tf(merge)=2, dl=3
+            (2, "scan filter sort join"),  # no query terms, dl=4
+            (3, "window scan"),            # tf(window)=1, dl=2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(
+            spark, docs, query_terms=("merge", "window"), k1=1.2, b=0.75
+        ).collect()
+    }
+    assert set(got) == {1, 3}  # doc 2 has no query term
+
+    n, avgdl = 3, 3.0
+    def score(tf, df, dl):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert abs(got[1] - round(score(2, 1, 3.0), 6)) < 1e-9
+    assert abs(got[3] - round(score(1, 1, 2.0), 6)) < 1e-9

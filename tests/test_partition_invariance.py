@@ -40,7 +40,11 @@ DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
          # r12 shapes: b55's decimal-min equality join-back and b59's
          # 2x-mean pair-quantity cut must pick the SAME winner/supplier
          # sets under any accumulation order
-         "b55_q2_min_cost_supplier", "b59_q20_semi_chain"]
+         "b55_q2_min_cost_supplier", "b59_q20_semi_chain",
+         # c90: 8 rounds of double-sum accumulation (rank contributions)
+         # must round to the same 6 decimals under any shuffle order;
+         # c91: double BM25 term-sum + corpus-avg doc length likewise
+         "c90_pagerank", "c91_bm25"]
 
 # (files.maxPartitionBytes, shuffle.partitions): one coarse layout (every
 # table a single split, single reducer) and one absurdly fine one (64 KiB
@@ -77,10 +81,14 @@ def test_result_invariant_under_physical_layout(spark, sf_small, decl):
             df = q(spark, sf_small)
             plan = df._jdf.queryExecution().executedPlan().toString()
             # fan-out 1 prints as "Exchange SinglePartition", not as
-            # "hashpartitioning(..., 1)"
+            # "hashpartitioning(..., 1)".  Iterative decls (c90) return a
+            # localCheckpoint-backed frame whose FINAL plan is a bare RDD
+            # scan — their shuffles ran under the layout during iteration
+            # materialization, so a checkpoint scan counts as exercised.
             fanouts.append(
                 ("hashpartitioning" in plan and f", {sp})" in plan)
                 or (sp == "1" and "Exchange SinglePartition" in plan)
+                or ("Scan ExistingRDD" in plan)
             )
             results.append(_rows(df))
     finally:

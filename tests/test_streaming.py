@@ -606,3 +606,114 @@ def test_replay_drivers_restore_state_store_conf(spark, sf_small, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, before)
+
+
+def test_latest_state_replay_matches_batch_and_is_redelivery_idempotent(
+    spark, sf_small, tmp_path
+):
+    """The c89 arm: 4 drop files + 1 redelivered copy replayed at
+    maxFilesPerTrigger=1 through the latest-wins foreachBatch MERGE must
+    equal the batch latest-per-user answer, with one state epoch per
+    input-carrying batch (>=5, redelivery included — the merge consumed
+    it and changed nothing)."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        LAST_RUN_BATCHES,
+        run_streaming_latest_state_replay,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "c89_src")
+    state = str(tmp_path / "c89_state")
+    events.repartition(4).write.parquet(src)
+    base_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    now = _time.time()
+    for fname in base_files:
+        os.utime(os.path.join(src, fname), (now - 20.0, now - 20.0))
+    dst = os.path.join(src, f"redeliver_{base_files[0]}")
+    shutil.copyfile(os.path.join(src, base_files[0]), dst)
+    os.utime(dst, (now, now))
+
+    out = run_streaming_latest_state_replay(
+        spark,
+        src,
+        checkpoint=str(tmp_path / "c89_ckpt"),
+        state_dir=state,
+        query_name="c89_test",
+        max_files_per_trigger=1,
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert sorted(map(tuple, out.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    assert LAST_RUN_BATCHES["c89_test"] >= 5
+    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    assert len(epochs) >= 5, epochs
+
+
+def test_latest_state_survives_query_restart(spark, sf_small, tmp_path):
+    """Crash-recovery pin for the upsert sink: run 1 merges only the base
+    files and stops; every file is then redelivered and a FRESH query
+    (same checkpoint) resumes — the file-source offset log must skip the
+    already-merged files and the idempotent merge must leave the final
+    state equal to the batch answer (not double-merged garbage, not a
+    reset table)."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_latest_state_replay,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "r_src")
+    state = str(tmp_path / "r_state")
+    ckpt = str(tmp_path / "r_ckpt")
+    events.repartition(2).write.parquet(src)
+    base_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+
+    run_streaming_latest_state_replay(
+        spark, src, checkpoint=ckpt, state_dir=state,
+        query_name="c89_restart", max_files_per_trigger=1,
+    )
+    n_epochs_run1 = len(
+        [d for d in os.listdir(state) if d.startswith("epoch=")]
+    )
+    assert n_epochs_run1 >= 2
+
+    now = _time.time()
+    for fname in base_files:
+        dst = os.path.join(src, f"redeliver_{fname}")
+        shutil.copyfile(os.path.join(src, fname), dst)
+        os.utime(dst, (now, now))
+    out = run_streaming_latest_state_replay(
+        spark, src, checkpoint=ckpt, state_dir=state,
+        query_name="c89_restart", max_files_per_trigger=1,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert sorted(map(tuple, out.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )

@@ -766,7 +766,12 @@ def pagerank(
     return ranks
 
 
-def c90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_copurchase(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = PAGERANK_ITER,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
     """PageRank over the part co-purchase graph: parts are nodes, with an
     edge whenever two distinct parts appear in the same order (lineitem
     self-join on l_orderkey, both directions, deduped). The graph is
@@ -775,7 +780,7 @@ def c90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the self-join is keyed on l_orderkey (pairs per order
     are O(items_per_order²) — bounded by order size, never corpus size);
-    the 8 fixed iterations each shuffle the edge relation once on src and
+    the fixed iterations each shuffle the edge relation once on src and
     the contribution sums once on dst. Float sums differ across partition
     orders at the last ulp, so the contract rounds to 6 decimals — same
     convention as c37/c42/c69."""
@@ -791,8 +796,12 @@ def c90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    pr = pagerank(nodes, edges)
+    pr = pagerank(nodes, edges, n_iter=n_iter, damping=damping)
     return pr.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def c90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_copurchase(spark, sf_dir)
 
 
 def _pagerank_oracle_sql(

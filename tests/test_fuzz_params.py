@@ -84,3 +84,18 @@ def test_chunk_windows_validates_coverage_contract(spark, sf_small):
     # boundary values are legal
     assert chunk_windows(docs, window=4, stride=4).count() > 0
     assert chunk_windows(docs, window=4, stride=1).count() > 0
+
+
+def test_graph_and_ranking_drawers_fixed_seed_slice(spark, sf_small):
+    """The r12 drawers — pagerank (iteration count x damping, oracle
+    unrolled to the SAME depth) and bm25 (k1 x b x query-term set,
+    absent-term draws must be empty on both engines) — pinned in CI the
+    same way the moments drawers are, so the templated oracles cannot
+    regress between campaigns."""
+    out = run_campaign(
+        spark, sf_small, n=6, seed=SEED, ops=["pagerank", "bm25"]
+    )
+    assert out["fail"] == 0, out["failures"]
+    assert out["err"] == 0, out["errors"]
+    assert out["ok"] == 6
+    assert set(out["per_op"]) == {"pagerank", "bm25"}

@@ -212,3 +212,29 @@ def test_reverse_time_drops_have_deterministic_arrival_order(spark, sf_small, tm
     # slice is strictly earlier in event time (range-sliced, no overlap)
     for (lo_a, _), (_, hi_b) in zip(spans, spans[1:]):
         assert lo_a > hi_b, "read order must walk descending event time"
+
+
+def test_fixed_upsert_replay_matches_oracle_across_batches(spark, sf_small):
+    """One deterministic latest-wins MERGE replay (c89's op) through the
+    full fuzzer path: 2 drop files + full redelivery in reverse_time
+    order at maxFilesPerTrigger=1, so the merge crosses >=4 genuine
+    micro-batches AND the latest events arrive FIRST (the hardest order
+    for latest-wins — every later batch tries to overwrite with older
+    rows and must lose). Final table must equal the batch
+    latest-per-user answer."""
+    from tests.oracle import compare
+    from tools.fuzz_streaming import LAST_BATCH_COUNTS
+
+    p = {
+        "dup_factor": 2,
+        "n_files": 2,
+        "max_files_per_trigger": 1,
+        "order": "reverse_time",
+        "watermark": "35 days",  # drawn but unused: no watermark in the op
+    }
+    df = run_case(spark, sf_small, "upsert", p, tag="ci_upsert")
+    res = compare(
+        "sfuzz_ci_upsert", df, OPERATORS["upsert"]["oracle"](p), sf_small
+    )
+    assert res.ok, res.mismatches
+    assert LAST_BATCH_COUNTS["ci_upsert"] >= 4, LAST_BATCH_COUNTS

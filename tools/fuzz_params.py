@@ -887,7 +887,86 @@ def _gen_q11(rng) -> dict:
     return {"mult": rng.choice([0.5, 0.9, 1.0, 1.1, 1.2, 1.5, 1.8, 2.0, 3.0])}
 
 
+def _pagerank_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        pagerank_copurchase,
+    )
+
+    return pagerank_copurchase(
+        spark, sf_dir, n_iter=p["n_iter"], damping=p["damping"]
+    )
+
+
+def _pagerank_oracle(p: dict) -> str:
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        _pagerank_oracle_sql,
+    )
+
+    return _pagerank_oracle_sql(n_iter=p["n_iter"], damping=p["damping"])
+
+
+def _gen_pagerank(rng) -> dict:
+    # iteration count spans the 1-iteration degenerate case (teleport +
+    # one hop) through past-convergence depths; damping covers the
+    # teleport-dominant and link-dominant regimes. The oracle unrolls the
+    # SAME iteration count, so every draw is exact.
+    return {
+        "n_iter": rng.choice([1, 2, 4, 8, 12]),
+        "damping": rng.choice([0.5, 0.7, 0.85, 0.95]),
+    }
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        spark, docs, query_terms=tuple(p["terms"]), k1=p["k1"], b=p["b"]
+    )
+
+
+def _bm25_oracle(p: dict) -> str:
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        _bm25_oracle_sql,
+    )
+
+    return _bm25_oracle_sql(
+        query_terms=tuple(p["terms"]), k1=p["k1"], b=p["b"]
+    )
+
+
+def _gen_bm25(rng) -> dict:
+    # b=0 kills length normalization entirely, b=1 makes it fully
+    # proportional; the absent-term draw must yield an empty result on
+    # both engines (no (doc, term) rows survive the semi-join).
+    terms = rng.choice(
+        [
+            ("merge", "window"),
+            ("vector", "merge", "window", "stream"),
+            ("scan", "key", "join"),
+            ("the",),
+            ("zzz_absent_term",),
+            ("vector", "zzz_absent_term"),
+        ]
+    )
+    return {
+        "terms": list(terms),
+        "k1": rng.choice([0.5, 1.2, 2.0]),
+        "b": rng.choice([0.0, 0.5, 0.75, 1.0]),
+    }
+
+
 OPERATORS: dict[str, dict] = {
+    "pagerank": {
+        "gen": _gen_pagerank,
+        "spark": _pagerank_spark,
+        "oracle": _pagerank_oracle,
+    },
+    "bm25": {
+        "gen": _gen_bm25,
+        "spark": _bm25_spark,
+        "oracle": _bm25_oracle,
+    },
     "q11_value_share": {
         "gen": _gen_q11,
         "spark": _q11_spark,

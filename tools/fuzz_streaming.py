@@ -228,6 +228,78 @@ def _gen_ledger(rng: random.Random) -> dict:
     return {}
 
 
+def _gen_upsert(rng: random.Random) -> dict:
+    # latest-wins MERGE (c89): exact under EVERY draw — the winner per
+    # key is a total order over (ts, event_id), state is epoch-versioned,
+    # and there is no watermark dependence, so (like ledger) any failing
+    # draw is a real merge/state bug, not an exactness-domain artifact.
+    # dup_factor=1 means no redelivery; >1 redelivers every file into
+    # later micro-batches, which must be a no-op for the final table.
+    return {"dup_factor": rng.choice([1, 2, 3])}
+
+
+def _oracle_upsert(p: dict) -> str:
+    # the final upsert table IS the batch latest-per-user answer
+    return """
+        SELECT user_id,
+               event_id AS last_event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) t WHERE rn = 1
+    """
+
+
+def _run_upsert(spark, drop_dir: str, p: dict, tag: str):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.windows import (
+        run_streaming_latest_state_replay,
+    )
+
+    base_files = sorted(
+        f for f in os.listdir(drop_dir) if f.endswith(".parquet")
+    )
+    now = _time.time()
+    for r in range(1, p["dup_factor"]):
+        for fname in base_files:
+            dst = os.path.join(drop_dir, f"redeliver_{r}_{fname}")
+            shutil.copyfile(os.path.join(drop_dir, fname), dst)
+            t = now + 2.0 * r
+            os.utime(dst, (t, t))
+    ckpt = tempfile.mkdtemp(prefix=f"sfuzz_ckpt_{tag}_")
+    state = tempfile.mkdtemp(prefix=f"sfuzz_state_{tag}_")
+    try:
+        out = run_streaming_latest_state_replay(
+            spark,
+            drop_dir,
+            checkpoint=ckpt,
+            state_dir=state,
+            query_name=f"sfuzz_{tag}",
+            max_files_per_trigger=p["max_files_per_trigger"],
+        )
+        out = out.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        mat = spark.createDataFrame(out.collect(), out.schema)
+        LAST_BATCH_COUNTS[tag] = _input_batches(f"sfuzz_{tag}")
+        return mat
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _oracle_ledger(p: dict) -> str:
     # the custom stateful ledger's final state IS the batch rollup
     return """
@@ -282,6 +354,7 @@ OPERATORS: dict[str, dict] = {
     "attribution": {"gen": _gen_attribution, "oracle": _oracle_attribution},
     "dedup": {"gen": _gen_dedup, "oracle": _oracle_dedup},
     "ledger": {"gen": _gen_ledger, "oracle": _oracle_ledger},
+    "upsert": {"gen": _gen_upsert, "oracle": _oracle_upsert},
 }
 
 
@@ -552,6 +625,8 @@ def run_case(spark, sf_dir: str, name: str, p: dict, tag: str):
             df = _run_dedup(spark, drop_dir, p, tag)
         elif name == "ledger":
             df = _run_ledger(spark, drop_dir, p, tag)
+        elif name == "upsert":
+            df = _run_upsert(spark, drop_dir, p, tag)
         else:
             df = run_streaming_session_agg(
                 spark, drop_dir, gap=f"{p['gap_minutes']} minutes", **common

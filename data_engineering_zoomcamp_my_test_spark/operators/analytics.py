@@ -711,6 +711,7 @@ def pagerank(
     dst_col: str = "dst",
     n_iter: int = PAGERANK_ITER,
     damping: float = PAGERANK_DAMPING,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) as an iterative
     DataFrame computation — the catalog's second iterative-graph operator
@@ -733,15 +734,19 @@ def pagerank(
     dangling handling pass a symmetric edge set, where dangling nodes
     cannot exist. Fixed iteration count (not convergence-tested) keeps
     the result deterministic and oracle-expressible.
+
+    ``checkpoint=False`` skips the lineage cuts so the composed
+    iteration PLAN stays inspectable (plan-posture tests); production
+    and the decl keep the default.
     """
+    cut = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
     n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
-    eout = edges.join(deg, src_col).localCheckpoint()
+    eout = cut(edges.join(deg, src_col))
     teleport = 1.0 - damping
-    ranks = (
+    ranks = cut(
         nodes.crossJoin(F.broadcast(n_row))
         .select(node_col, (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
-        .localCheckpoint()
     )
     for _ in range(n_iter):
         contribs = eout.join(
@@ -751,7 +756,7 @@ def pagerank(
             (F.col("rank") / F.col("outdeg")).alias("contrib"),
         )
         sums = contribs.groupBy(node_col).agg(F.sum("contrib").alias("s"))
-        ranks = (
+        ranks = cut(
             nodes.join(sums, node_col, "left")
             .crossJoin(F.broadcast(n_row))
             .select(
@@ -761,7 +766,6 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks
 
@@ -812,18 +816,26 @@ def _pagerank_oracle_sql(
     so the fixed iteration count is unrolled into chained CTEs. The
     teleport literal is generated from the SAME Python float the Spark
     side computes (repr-roundtrip), so both engines add bit-identical
-    constants."""
+    constants.
+
+    The shared relations (edges, degrees, N, nodes) are ``AS
+    MATERIALIZED``: DuckDB inlines plain CTEs at every reference, so
+    without it each of the n_iter iterations re-plans the lineitem
+    self-join — at sf1 that inflated the plan until temp spill filled
+    the disk. Materialized, the self-join runs once and the iteration
+    chain is a linear pipeline, which is also exactly what the Spark
+    side executes (edges are localCheckpointed once before the loop)."""
     teleport = repr(1.0 - damping)
     parts = [
         """
-        WITH e AS (
+        WITH e AS MATERIALIZED (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
           WHERE a.l_partkey <> b.l_partkey
         ),
-        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
-        nn AS (SELECT COUNT(DISTINCT src) AS n FROM e),
-        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        nn AS MATERIALIZED (SELECT COUNT(DISTINCT src) AS n FROM e),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
         r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
         """
     ]

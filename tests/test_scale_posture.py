@@ -611,3 +611,48 @@ def test_q21_self_joins_share_orderkey_shuffle(spark, sf_small):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_term_list_broadcasts_and_no_cartesian(spark, sf_small):
+    """c91: the query-term semi-join and the df/stats attachments must all
+    broadcast — the only corpus-sized relation allowed to shuffle is the
+    map-side-combined (doc, term) partial count, never the raw token
+    stream joined by shuffle, and never a CartesianProduct (the one-row
+    stats cross join must plan as a broadcast nested loop)."""
+    df = all_queries()["c91_bm25"](spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_iteration_plan_is_keyed_joins_no_cartesian(spark, sf_small):
+    """c90's loop body (checkpoint=False so the composed plan stays
+    inspectable): one iteration = ranks ⋈ edges keyed on src + a
+    partial-aggregating sum keyed on dst. No CartesianProduct anywhere;
+    the teleport constant attaches via broadcast (one-row N frame)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        pagerank,
+    )
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    pr = pagerank(nodes, edges, n_iter=1, checkpoint=False)
+    plan = explain_str(pr, "simple")
+    assert "CartesianProduct" not in plan, plan
+    # the one-row N frame must attach as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # partial aggregation before the dst-keyed exchange (map-side combine)
+    assert "partial_sum" in plan or "HashAggregate" in plan

@@ -234,12 +234,14 @@ def test_driver_window_contains_all_mandated_decls():
     out in round 4 to widen the rotation window — their mandated twins
     (c3/c9/c10/b9_join_anti) remain pinned."""
     names = list(all_queries())[:50]
-    # Round 11: backlog zero, standing re-seat policy in force. The r10
-    # swap (b10/b14/b16/b28) is honored — all four returned to the pins,
-    # so NO pins are swapped out and the full 43-pin block sits in the
-    # window alongside 7 rotation seats (rule 1: c85; rule 3: the six
-    # stalest driver rows, all CORRECTNESS_r01-era).
-    swapped_out: set[str] = set()
+    # Round 12: rule 1 seats all 8 never-checked r11 decls at once plus
+    # six rule-3 stale rows, paid for by the FIFTH-batch one-round pin
+    # swap (operators/__init__.py): b1_filter_pred b2_project_expr
+    # b4_distinct b6_join_inner b8_join_left b9_join_anti b18_topk step
+    # out for exactly this round (driver-green r1-r11, untouched code,
+    # covered by the sf0.01/sf0.1 parity sweeps) and return in round 13
+    # under rule 2 — at which point this set goes back to empty.
+    swapped_out: set[str] = {"b1_", "b2_", "b4_", "b6_", "b8_", "b9_", "b18_"}
     mandated = [
         "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
         *[f"b{i}_" for i in range(1, 29)],  # prefixes checked below
@@ -256,18 +258,28 @@ def test_driver_window_contains_all_mandated_decls():
             assert m in names, f"{m} fell out of the driver's 50-query window"
     # Rotation seats follow the standing policy (operators/__init__.py):
     # rule-1 re-seats for code churned since the last driver row, rule-2
-    # returning pins, then rule-3 oldest-driver-row round-robin. Every
-    # r11 seat is exact-oracle-bearing.
+    # returning pins, then rule-3 oldest-driver-row round-robin. The r12
+    # window is 36 pins + 14 seats; three rule-3 seats are the r1-era
+    # rows-only trio (c27/c28/c33 — their hash families are certified by
+    # the c84/c85 exact moments twins), every other seat exact-oracle.
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    seats = names[43:]
-    assert len(seats) == 7
+    seats = names[36:]
+    assert len(seats) == 14
     oracles = all_oracle_sql()
+    rows_only_seats = {"c27_simhash", "c28_simhash_pairs", "c33_minhash_jvm"}
     for s in seats:
-        assert s in oracles, f"rotation seat {s} has no exact oracle"
+        assert s in oracles or s in rows_only_seats, (
+            f"rotation seat {s} has no exact oracle and is not a "
+            "documented rows-only seat"
+        )
     # the swapped-out pins must still be registered and oracle-bearing
     registry = set(all_queries())
-    for s in swapped_out:
+    swapped_names = {
+        "b1_filter_pred", "b2_project_expr", "b4_distinct",
+        "b6_join_inner", "b8_join_left", "b9_join_anti", "b18_topk",
+    }
+    for s in swapped_names:
         assert s in registry and s in oracles
 
 
@@ -378,6 +390,7 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "b51_q22_global_cust": {"bnlj"},  # 1-row global-avg scalar attach
         "b54_q11_value_share": {"bnlj"},  # 1-row global-rollup attach
         "b59_q20_semi_chain": {"bnlj"},  # 1-row mean-qty scalar attach
+        "c91_bm25": {"bnlj"},  # 1-row corpus-stats (N, avgdl) attach
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
     }
@@ -392,6 +405,7 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c66_streaming_tumbling", "c78_streaming_session",
         "c80_streaming_sliding", "c86_streaming_attribution",
         "c87_streaming_dedup", "c88_streaming_ledger",
+        "c89_streaming_upsert",
     }
     violations = {}
     for name, fn in all_queries().items():

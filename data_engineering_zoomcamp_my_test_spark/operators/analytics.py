@@ -808,6 +808,75 @@ def c90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_copurchase(spark, sf_dir)
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    CANONICAL edges (src < dst, deduped) — the third graph operator
+    (CC, PageRank, triangles). Classic cyclic 3-way self-join with id
+    ordering so each triangle {a,b,c} (a<b<c) materializes exactly once:
+
+        wedges  = e1(a,b) ⋈ e2 ON e2.src = e1.dst   -> paths a<b<c
+        closed  = wedges  ⋈ e3 ON (e3.src, e3.dst) = (a, c)
+
+    then each closed triangle credits all three corners via a 3-element
+    explode + count. Scale posture: the wedge relation is
+    sum_b deg(b)^2 / 2 — the skew term; Spark shuffles it keyed on the
+    closing edge (a, c), the standard distributed-triangle plan
+    (node-order canonicalization is exactly the degree-based pruning
+    trick from Suri & Vassilvitskii's MapReduce triangle paper).
+    Nodes in no triangle are absent (inner semantics), matching the
+    oracle."""
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def c92_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the same part co-purchase graph as c90,
+    canonicalized to src < dst (LEAST/GREATEST + distinct, so the
+    lineitem self-join emits each unordered pair once)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_counts(und)
+
+
+_TRIANGLE_ORACLE = """
+    WITH p AS MATERIALIZED (
+      SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM p e1
+      JOIN p e2 ON e2.src = e1.dst
+      JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT unnest([a, b, c]) AS node FROM tri
+    ) t GROUP BY node
+"""
+
+
 def _pagerank_oracle_sql(
     n_iter: int = PAGERANK_ITER, damping: float = PAGERANK_DAMPING
 ) -> str:
@@ -888,12 +957,14 @@ QUERIES = {
     "c82_winsorize": c82_winsorize,
     "c83_orphan_audit": c83_orphan_audit,
     "c90_pagerank": c90_pagerank,
+    "c92_triangle_count": c92_triangle_count,
 }
 
 _MONEY_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
 ORACLE = {
     "c90_pagerank": _pagerank_oracle_sql(),
+    "c92_triangle_count": _TRIANGLE_ORACLE,
     "c73_stratified_sample_exact": """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,

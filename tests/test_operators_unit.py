@@ -1339,3 +1339,30 @@ def test_bm25_hand_computed_tiny_corpus(spark):
 
     assert abs(got[1] - round(score(2, 1, 3.0), 6)) < 1e-9
     assert abs(got[3] - round(score(1, 1, 2.0), 6)) < 1e-9
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges all pairs except (3,4).
+    Triangles: {1,2,3} and {1,2,4} — so nodes 1,2 sit in 2 each, nodes
+    3,4 in 1 each. Canonical (src<dst) input, each triangle counted
+    once."""
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_no_triangles_is_empty(spark):
+    """A path graph has wedges but no closed triangle — output empty,
+    not zero-filled (inner semantics, matches the oracle)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(edges).count() == 0

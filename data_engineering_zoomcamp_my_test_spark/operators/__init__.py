@@ -43,15 +43,15 @@ _PRIORITY = (
     # Tier A query-shaped decls
     "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
     # Tier B core SQL surface (B1-B28)
-    "b3_groupby_agg",
-    "b5_approx_distinct", "b7_join_multiway",
-    "b10_join_range",
+    "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
+    "b6_join_inner", "b7_join_multiway",
+    "b8_join_left", "b9_join_anti", "b10_join_range",
     "b11_cross", "b12_subq_scalar", "b13_rollup", "b14_win_rank",
     "b15_win_lag", "b16_win_frame",
-    "b17_sort",
+    "b17_sort", "b18_topk",
     "b19_setops", "b20_case", "b21_string_fns",
     "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
-    "b26_cte", "b27_having", "b28_array_fns",
+    "b28_array_fns",
     # Tier C mandated rows C1-C10.  The same-row companions that used to sit
     # here (c13_knn_all, c9b_session_window, c21_json_agg, b9_join_semi's twin
     # stays via b9_join_anti) are driver-green as of r3 and not SURVEY-mandated
@@ -164,12 +164,33 @@ _PRIORITY = (
     # repo's own sf0.01/sf0.1 full-catalog parity sweeps, and return in
     # round 13 under rule 2.  After this window seats green, driver
     # evidence is back to the full catalog (145/145).
-    "c86_streaming_attribution", "c87_streaming_dedup",
-    "c88_streaming_ledger",
-    "b50_q13_custdist", "b51_q22_global_cust", "b52_q15_top_supplier",
-    "b53_q8_market_share", "b54_q11_value_share",
-    "b41_string_advanced", "c17_jaccard_pairs", "c29_incremental_dedup",
-    "c27_simhash", "c28_simhash_pairs", "c33_minhash_jvm",
+    # Round 13 (VERDICT r12 #1): the 14 r12 seats (all green in
+    # CORRECTNESS_r12 — 11 hash + 3 rows-only-by-design) rotate out, and
+    # the r12 one-round swap is honored: b1/b2/b4/b6/b8/b9_join_anti/b18
+    # are RESTORED to the pins above (rule 2).  Rule 1 takes the TEN
+    # decls built in r12 after that round's window was fixed — the TPC-H
+    # completion shapes b55-b60 and the four new operator families
+    # c89_streaming_upsert / c90_pagerank / c91_bm25 / c92_triangle_count.
+    # 43 restored pins + 10 rule-1 seats exceeds the 50-decl window by 3,
+    # so the one-round widening repeats with a SIXTH distinct batch:
+    # b5_approx_distinct (rows-only by design every round; its spark_rows
+    # row carries the least marginal information of any pin) plus
+    # b26_cte / b27_having (driver-green every seated round r1-r12,
+    # per-decl code untouched) step out for exactly one round, covered
+    # meanwhile by the repo's own sf0.01/sf0.1 full-catalog parity
+    # sweeps, and return in round 14 under rule 2.  All 10 seats were
+    # pre-verified hash-green at sf0.01 by tools/parity_sweep.py after
+    # this round's ADVICE fixes landed (c90 node/n_row checkpointing,
+    # c91 query-term normalization).  After this window seats green,
+    # driver-grade evidence is back to the full catalog (155/155).
+    # Rule-3 queue unchanged for r14+: c36/c43/c46 (r2), then the r3
+    # batch (b9_join_semi c13_knn_all c21_json_agg c32_profile
+    # c49_token_budget_mix c51_from_json c9b_session_window).
+    "b55_q2_min_cost_supplier", "b56_q9_profit_by_nation_year",
+    "b57_q12_priority_class", "b58_q16_supplier_cnt",
+    "b59_q20_semi_chain", "b60_q21_waiting_suppliers",
+    "c89_streaming_upsert", "c90_pagerank", "c91_bm25",
+    "c92_triangle_count",
 )
 
 

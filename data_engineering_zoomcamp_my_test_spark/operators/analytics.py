@@ -723,10 +723,13 @@ def pagerank(
     their outdeg from a pre-loop join, so the loop body is join + one
     dst-keyed partial-aggregating shuffle). ``localCheckpoint`` truncates
     the lineage each round, exactly like the CC operator — without it the
-    plan depth grows linearly and re-executes every prior round. Edges are
-    checkpointed ONCE before the loop so the (possibly expensive) edge
-    derivation never re-runs per iteration. N reaches every row as a
-    broadcast one-row cross join, not a driver-collected literal.
+    plan depth grows linearly and re-executes every prior round. Edges,
+    nodes, and the one-row N count are each checkpointed ONCE before the
+    loop so the (possibly expensive) edge/node derivations never re-run
+    per iteration — the loop body joins nodes and broadcasts N every
+    round, so an uncut nodes lineage would re-execute n_iter times. N
+    reaches every row as a broadcast one-row cross join, not a
+    driver-collected literal.
 
     Nodes with no inbound edges get the teleport mass (1-d)/N via the
     left join + coalesce(0); dangling-node mass is NOT redistributed
@@ -740,7 +743,13 @@ def pagerank(
     and the decl keep the default.
     """
     cut = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # Checkpoint nodes BEFORE anything derives from it: the loop body joins
+    # against nodes every iteration, so an uncut nodes lineage (in the decl,
+    # a lineitem self-join + distinct) would re-execute n_iter times.  n_row
+    # is likewise cut so the broadcast count is a materialized one-row scan,
+    # not a per-iteration re-aggregation of the node relation.
+    nodes = cut(nodes)
+    n_row = cut(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
     eout = cut(edges.join(deg, src_col))
     teleport = 1.0 - damping

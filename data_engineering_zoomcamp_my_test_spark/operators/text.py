@@ -210,7 +210,14 @@ def bm25_scores(
     relation that shuffles is |docs| x |query| at most, never the full
     token stream; df and the corpus stats (N, avgdl) attach as broadcast
     one-row / term-count frames. All expression work is JVM-side
-    (whole-stage codegen), no UDFs."""
+    (whole-stage codegen), no UDFs.
+
+    query_terms is normalized to an order-preserving de-duplicated set
+    (matching SQL IN semantics — a duplicated term must not double-count
+    its tf contribution) and must be non-empty."""
+    query_terms = tuple(dict.fromkeys(query_terms))
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
     q = spark.createDataFrame([(t,) for t in query_terms], "tok string")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = (
@@ -270,7 +277,14 @@ def _bm25_oracle_sql(
     from the SAME Python floats the Spark side passes as lit()s
     (repr-roundtrip), so both engines evaluate bit-identical constants;
     the ≤|query|-term sum per doc differs only in association order,
-    absorbed by ROUND 6 — the catalog's float-parity convention."""
+    absorbed by ROUND 6 — the catalog's float-parity convention.
+
+    Same degenerate-input contract as bm25_scores: duplicates are deduped
+    (SQL IN would anyway) and an empty term set raises rather than
+    emitting the syntactically-invalid ``IN ()``."""
+    query_terms = tuple(dict.fromkeys(query_terms))
+    if not query_terms:
+        raise ValueError("_bm25_oracle_sql: query_terms must be non-empty")
     terms = ", ".join(f"'{t}'" for t in query_terms)
     return f"""
         WITH toks AS (

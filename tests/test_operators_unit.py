@@ -1341,6 +1341,41 @@ def test_bm25_hand_computed_tiny_corpus(spark):
     assert abs(got[3] - round(score(1, 1, 2.0), 6)) < 1e-9
 
 
+def test_bm25_degenerate_query_terms(spark):
+    """Degenerate query_terms contract (ADVICE r12): duplicate terms are
+    deduped (no double-counted tf contribution — matches SQL IN) and an
+    empty tuple raises on BOTH the Spark side and the oracle builder
+    (DuckDB would reject ``IN ()`` anyway)."""
+    import pytest as _pytest
+
+    from data_engineering_zoomcamp_my_test_spark.operators.text import (
+        _bm25_oracle_sql,
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge merge scan"), (2, "window scan")],
+        "doc_id long, text string",
+    )
+    once = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(spark, docs, query_terms=("merge",)).collect()
+    }
+    duped = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(
+            spark, docs, query_terms=("merge", "merge", "merge")
+        ).collect()
+    }
+    assert once == duped
+    assert "'merge'" in _bm25_oracle_sql(("merge", "merge"))
+    assert _bm25_oracle_sql(("merge", "merge")).count("'merge'") == 1
+    with _pytest.raises(ValueError):
+        bm25_scores(spark, docs, query_terms=())
+    with _pytest.raises(ValueError):
+        _bm25_oracle_sql(())
+
+
 def test_triangle_counts_known_graph(spark):
     """K4 minus one edge: nodes {1,2,3,4}, edges all pairs except (3,4).
     Triangles: {1,2,3} and {1,2,4} — so nodes 1,2 sit in 2 each, nodes

@@ -51,6 +51,14 @@ DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
 # splits, prime reducer count) — accumulation order differs maximally.
 LAYOUTS = [("134217728", "1"), ("65536", "37")]
 
+# Iterative decls whose FINAL frame is localCheckpoint-backed: the plan the
+# test inspects is a bare "Scan ExistingRDD" because every shuffle already
+# ran (under the configured layout) while materializing the checkpoints.
+# The ExistingRDD allowance in the fan-out check applies ONLY to these —
+# any other decl whose plan happens to contain one still has to show a
+# hash exchange at the configured fan-out.
+CHECKPOINT_FINAL_DECLS = {"c90_pagerank"}
+
 
 def _rows(df):
     # sort key is repr: grouping-set NULLs and nullable fill columns make
@@ -88,7 +96,7 @@ def test_result_invariant_under_physical_layout(spark, sf_small, decl):
             fanouts.append(
                 ("hashpartitioning" in plan and f", {sp})" in plan)
                 or (sp == "1" and "Exchange SinglePartition" in plan)
-                or ("Scan ExistingRDD" in plan)
+                or (decl in CHECKPOINT_FINAL_DECLS and "Scan ExistingRDD" in plan)
             )
             results.append(_rows(df))
     finally:

@@ -234,14 +234,15 @@ def test_driver_window_contains_all_mandated_decls():
     out in round 4 to widen the rotation window — their mandated twins
     (c3/c9/c10/b9_join_anti) remain pinned."""
     names = list(all_queries())[:50]
-    # Round 12: rule 1 seats all 8 never-checked r11 decls at once plus
-    # six rule-3 stale rows, paid for by the FIFTH-batch one-round pin
-    # swap (operators/__init__.py): b1_filter_pred b2_project_expr
-    # b4_distinct b6_join_inner b8_join_left b9_join_anti b18_topk step
-    # out for exactly this round (driver-green r1-r11, untouched code,
-    # covered by the sf0.01/sf0.1 parity sweeps) and return in round 13
-    # under rule 2 — at which point this set goes back to empty.
-    swapped_out: set[str] = {"b1_", "b2_", "b4_", "b6_", "b8_", "b9_", "b18_"}
+    # Round 13: the r12 fifth-batch swap is honored (b1/b2/b4/b6/b8/
+    # b9_join_anti/b18 restored under rule 2); rule 1 seats the ten
+    # r12-built decls (b55-b60, c89-c92), paid for by the SIXTH-batch
+    # one-round pin swap (operators/__init__.py): b5_approx_distinct
+    # b26_cte b27_having step out for exactly this round (green every
+    # seated round, untouched per-decl code, covered by the sf0.01/
+    # sf0.1 parity sweeps) and return in round 14 under rule 2 — at
+    # which point this set goes back to empty.
+    swapped_out: set[str] = {"b5_", "b26_", "b27_"}
     mandated = [
         "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
         *[f"b{i}_" for i in range(1, 29)],  # prefixes checked below
@@ -258,29 +259,27 @@ def test_driver_window_contains_all_mandated_decls():
             assert m in names, f"{m} fell out of the driver's 50-query window"
     # Rotation seats follow the standing policy (operators/__init__.py):
     # rule-1 re-seats for code churned since the last driver row, rule-2
-    # returning pins, then rule-3 oldest-driver-row round-robin. The r12
-    # window is 36 pins + 14 seats; three rule-3 seats are the r1-era
-    # rows-only trio (c27/c28/c33 — their hash families are certified by
-    # the c84/c85 exact moments twins), every other seat exact-oracle.
+    # returning pins, then rule-3 oldest-driver-row round-robin. The r13
+    # window is 40 pins + 10 seats (the r12-built b55-b60 and c89-c92);
+    # every seat carries an exact oracle.
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    seats = names[36:]
-    assert len(seats) == 14
+    seats = names[40:]
+    assert len(seats) == 10
     oracles = all_oracle_sql()
-    rows_only_seats = {"c27_simhash", "c28_simhash_pairs", "c33_minhash_jvm"}
+    rows_only_seats: set[str] = set()
     for s in seats:
         assert s in oracles or s in rows_only_seats, (
             f"rotation seat {s} has no exact oracle and is not a "
             "documented rows-only seat"
         )
-    # the swapped-out pins must still be registered and oracle-bearing
+    # the swapped-out pins must still be registered; b26/b27 stay
+    # oracle-bearing (b5_approx_distinct is rows-only by design)
     registry = set(all_queries())
-    swapped_names = {
-        "b1_filter_pred", "b2_project_expr", "b4_distinct",
-        "b6_join_inner", "b8_join_left", "b9_join_anti", "b18_topk",
-    }
+    swapped_names = {"b5_approx_distinct", "b26_cte", "b27_having"}
     for s in swapped_names:
-        assert s in registry and s in oracles
+        assert s in registry
+        assert s in oracles or s == "b5_approx_distinct"
 
 
 def test_repetition_stats_single_shuffle_no_join(spark, sf_small):

@@ -755,6 +755,171 @@ def c67_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(emb, emb.filter(F.col("vec_id") < 100), k=4)
 
 
+def embedding_covariance(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle population covariance of the embedding matrix —
+    the d x d statistic every whitening / PCA / Mahalanobis-distance
+    step of an embedding-curation pipeline starts from.
+
+    Scale posture: the ONLY corpus-sized pass is an Arrow-batched
+    ``mapInPandas`` that reduces each partition to its partial Gram
+    matrix (X^T X via one BLAS matmul per batch), partial dimension sums,
+    and a row count — i.e. per-partition map-side combine of the exact
+    sufficient statistics. What shuffles is n_partitions x O(d^2) tiny
+    partial rows, NEVER the data; a 100 TB corpus shuffles the same few
+    thousand rows per partition as sf0.01 does. Assembly (cov = G/n -
+    outer(mean, mean)) joins the d-sized sums back as broadcasts. This is
+    the deliberate fast-Arrow-path showcase of SURVEY B30 with a full
+    exact oracle (unlike the hash-family UDF decls, the output here is
+    plain floats DuckDB can reproduce): double-precision accumulation,
+    6dp rounding absorbing partition-order last-ulp drift.
+
+    Encoding of the partial rows: (i, j>=0) = Gram cell, (i, -1) =
+    dimension sum, (-1, -1) = row count."""
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        gram = None
+        sums = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            gram = x.T @ x if gram is None else gram + x.T @ x
+            sums = x.sum(0) if sums is None else sums + x.sum(0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype("int32"), "j": ju.astype("int32"), "v": gram[iu, ju]}
+        )
+        yield pd.DataFrame(
+            {
+                "i": np.arange(d, dtype="int32"),
+                "j": np.full(d, -1, dtype="int32"),
+                "v": sums,
+            }
+        )
+        yield pd.DataFrame({"i": [-1], "j": [-1], "v": [float(n)]})
+
+    parts = embeddings.select(vec_col).mapInPandas(
+        _partials, "i int, j int, v double"
+    )
+    agg = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    gram = agg.where(F.col("j") >= 0)
+    sums = agg.where((F.col("j") == -1) & (F.col("i") >= 0))
+    cnt = agg.where(F.col("i") == -1).select(F.col("v").alias("n"))
+    return (
+        gram.join(
+            F.broadcast(sums.select("i", F.col("v").alias("si"))), "i"
+        )
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("v").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            # + 0.0 canonicalizes IEEE -0.0 (a near-zero covariance
+            # rounding to zero from below) to +0.0 — DuckDB's ROUND
+            # preserves the sign bit, Spark's BigDecimal path does not,
+            # and the comparator sorts -0.0 before 0.0.
+            (
+                F.round(
+                    F.col("v") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def c94_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+PCA_K = 4
+
+
+def pca_project(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = PCA_K,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every embedding onto the top-k principal components of the
+    corpus covariance — the dimensionality-reduction / whitening
+    front-end for embedding dedup and ANN at scale.
+
+    The eigendecomposition runs driver-side on the 6dp-ROUNDED d x d
+    covariance from embedding_covariance(): the collect is O(model_dim^2)
+    rows (2,080 for d=64) REGARDLESS of corpus size — the same class of
+    bounded driver-side model state MLlib keeps for KMeans/LSH — and
+    rounding the input first makes the eigenbasis a pure function of the
+    6dp covariance, immune to partition-order last-ulp drift. Sign is
+    canonicalized per component (largest-|coordinate| made positive), so
+    the output is deterministic end-to-end. numpy.linalg.eigh on a
+    64 x 64 symmetric matrix is microseconds; no iterative fitting, no
+    data on the driver.
+
+    The projection pass is scan + posexplode + broadcast join against the
+    d x k weight table + one vec_id-keyed partial-aggregated sum — linear
+    in N x d, no Python in the per-row path. Long output (vec_id, comp,
+    score): scalar cells, driver-comparator-safe.
+
+    Not SQL-expressible (eigendecomposition), so the decl is rows-only;
+    its evidence is the property suite: orthonormal components, projected
+    variance matching eigenvalues in descending order, planted-direction
+    recovery (tests/test_properties.py)."""
+    import numpy as np
+
+    rows = embedding_covariance(embeddings, vec_col=vec_col).collect()
+    d = max(r.dim_j for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.dim_i, r.dim_j] = cov[r.dim_j, r.dim_i] = r.cov
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    proj = eigvecs[:, order]
+    for c in range(proj.shape[1]):
+        jmax = int(np.argmax(np.abs(proj[:, c])))
+        if proj[jmax, c] < 0:
+            proj[:, c] = -proj[:, c]
+    weights = spark.createDataFrame(
+        [
+            (int(dim), int(c), float(proj[dim, c]))
+            for dim in range(d)
+            for c in range(proj.shape[1])
+        ],
+        "dim int, comp int, w double",
+    )
+    ex = embeddings.select(
+        "vec_id", F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    return (
+        ex.join(F.broadcast(weights), "dim")
+        .groupBy("vec_id", "comp")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("score"))
+    )
+
+
+def c95_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_project(spark, load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "c38_l2_normalize": c38_l2_normalize,
     "c67_negative_sampling": c67_negative_sampling,
@@ -767,6 +932,8 @@ QUERIES = {
     "c18_embed_neardup": c18_embed_neardup,
     "c48_lsh_embed_neardup": c48_lsh_embed_neardup,
     "c76_label_centroid_cosine": c76_label_centroid_cosine,
+    "c94_embedding_covariance": c94_embedding_covariance,
+    "c95_pca_project": c95_pca_project,
 }
 
 _COS = (
@@ -781,6 +948,30 @@ _MAXABS = (
 )
 
 ORACLE = {
+    # c94: the pair join on vec_id is the oracle's O(n * d^2) enumeration
+    # of the same Gram sums the Spark side gets from per-partition BLAS
+    # matmuls; population covariance, 6dp rounding (float-parity
+    # convention). c95 has no oracle (eigendecomposition is not
+    # SQL-expressible) — rows-only + property suite.
+    "c94_embedding_covariance": """
+        WITH ex AS (
+          SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS u(i)
+        ),
+        pairs AS (
+          SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.x * b.x) AS g
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2
+        ),
+        sums AS (SELECT dim, SUM(x) AS s, COUNT(*) AS n FROM ex GROUP BY 1)
+        SELECT p.dim_i, p.dim_j,
+               ROUND(p.g / si.n - (si.s / si.n) * (sj.s / sj.n), 6)
+                 + 0.0 AS cov
+        FROM pairs p
+        JOIN sums si ON si.dim = p.dim_i
+        JOIN sums sj ON sj.dim = p.dim_j
+    """,
     "c76_label_centroid_cosine": """
         WITH ex AS (
           SELECT vec_id, label, i - 1 AS dim,

@@ -99,3 +99,20 @@ def test_graph_and_ranking_drawers_fixed_seed_slice(spark, sf_small):
     assert out["err"] == 0, out["errors"]
     assert out["ok"] == 6
     assert set(out["per_op"]) == {"pagerank", "bm25"}
+
+
+def test_triangles_drawer_fixed_seed_slice(spark, sf_small):
+    """The r13 triangles drawer: graph-shape draws (mod-collapse density,
+    md5 edge sparsification) x physical plan (id-ordered 3-way self-join
+    vs degree-ordered orientation), every draw refereed against the same
+    templated id-ordered oracle — pins that the two exact plans stay
+    interchangeable as code evolves."""
+    out = run_campaign(spark, sf_small, n=6, seed=SEED, ops=["triangles"])
+    assert out["fail"] == 0, out["failures"]
+    assert out["err"] == 0, out["errors"]
+    assert out["ok"] == 6
+    # the seeded slice must actually exercise BOTH physical plans
+    from tools.fuzz_params import gen_case
+
+    impls = {gen_case(SEED, i, ["triangles"])[1]["impl"] for i in range(6)}
+    assert impls == {"id", "oriented"}

@@ -1401,3 +1401,67 @@ def test_triangle_counts_no_triangles_is_empty(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_oriented_matches_id_ordered(spark):
+    """The degree-ordered plan (c92's r13 implementation) is an exact
+    equivalent of the id-ordered 3-way self-join — same per-node counts
+    on (a) the K4-minus-edge pin, (b) a hub-and-spokes graph where
+    degree order and id order DISAGREE maximally (hub id 1 has max
+    degree — id order wedges at the hub, degree order never does), and
+    (c) a seeded random G(n, p) graph."""
+    import itertools
+    import random
+
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        triangle_counts,
+        triangle_counts_oriented,
+    )
+
+    cases = {
+        "k4_minus_edge": [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+        # hub node 1 connected to 2..8, plus rim edges forming triangles
+        "hub": [(1, k) for k in range(2, 9)] + [(2, 3), (4, 5), (6, 7)],
+    }
+    rng = random.Random(13)
+    cases["gnp"] = [
+        (a, b)
+        for a, b in itertools.combinations(range(1, 21), 2)
+        if rng.random() < 0.3
+    ]
+    for name, edge_list in cases.items():
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        base = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+        fast = {
+            r.node: r.n_triangles
+            for r in triangle_counts_oriented(edges).collect()
+        }
+        assert base == fast, f"{name}: oriented plan diverged from id-ordered"
+
+
+def test_triangle_doulion_unbiased_on_copurchase(spark, sf_small):
+    """c93's DOULION estimate vs the exact global count on the sf0.001
+    co-purchase graph. p=0.5 keeps half the edges in expectation; the
+    estimator is unbiased with std ~ sqrt(T * (1/p^3 - 1)) for the
+    independent-triangle term, so on a graph with thousands of triangles
+    the relative error should be well under 50% — a loose bound chosen
+    to never flake on the fixed md5 coin while still catching a wrong
+    scale factor (x8 off by even one power of two breaks it)."""
+    from data_engineering_zoomcamp_my_test_spark.operators import all_queries
+
+    exact = (
+        all_queries()["c92_triangle_count"](spark, sf_small)
+        .agg(F.sum("n_triangles"))
+        .head()[0]
+        // 3
+    )
+    est_row = all_queries()["c93_triangle_global_approx"](
+        spark, sf_small
+    ).head()
+    assert est_row.est_triangles == est_row.n_tri_sampled * 8
+    assert exact > 0
+    rel_err = abs(est_row.est_triangles - exact) / exact
+    assert rel_err < 0.5, (
+        f"DOULION estimate {est_row.est_triangles} vs exact {exact}: "
+        f"rel err {rel_err:.3f}"
+    )

@@ -44,7 +44,11 @@ DECLS = ["b3_groupby_agg", "c41_weighted_avg", "c9_session",
          # c90: 8 rounds of double-sum accumulation (rank contributions)
          # must round to the same 6 decimals under any shuffle order;
          # c91: double BM25 term-sum + corpus-avg doc length likewise
-         "c90_pagerank", "c91_bm25"]
+         "c90_pagerank", "c91_bm25",
+         # c94: per-partition Arrow partial Grams summed across layouts —
+         # the partial count and grouping change entirely between the
+         # coarse and fine layouts, the 6dp covariance must not
+         "c94_embedding_covariance"]
 
 # (files.maxPartitionBytes, shuffle.partitions): one coarse layout (every
 # table a single split, single reducer) and one absurdly fine one (64 KiB

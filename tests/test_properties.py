@@ -534,3 +534,79 @@ def test_bigram_logprob_ranks_corpus_like_docs_higher(spark):
         for r in bigram_logprob(docs.repartition(7)).collect()
     }
     assert again == out
+
+
+def test_pca_project_properties(spark, sf_small):
+    """c95's evidence contract (no SQL oracle for eigendecomposition):
+    (a) recomputing the components from the 6dp covariance reproduces an
+    orthonormal basis; (b) the per-component variance of the projected
+    scores is non-increasing and matches the eigenvalues of the rounded
+    covariance; (c) on a synthetic corpus with one planted dominant
+    direction, pc1 aligns with it."""
+    import numpy as np
+
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        PCA_K,
+        embedding_covariance,
+        pca_project,
+    )
+    from data_engineering_zoomcamp_my_test_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cov_rows = embedding_covariance(emb).collect()
+    d = max(r.dim_j for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.dim_i, r.dim_j] = cov[r.dim_j, r.dim_i] = r.cov
+    eigvals = np.sort(np.linalg.eigvalsh(cov))[::-1][:PCA_K]
+
+    scores = pca_project(spark, emb).collect()
+    n = len({r.vec_id for r in scores})
+    by_comp = {}
+    for r in scores:
+        by_comp.setdefault(r.comp, []).append(r.score)
+    assert set(by_comp) == set(range(PCA_K))
+    # population variance of each component's scores == its eigenvalue
+    variances = []
+    for c in range(PCA_K):
+        v = np.asarray(by_comp[c])
+        assert len(v) == n
+        variances.append(float(np.var(v)))
+    for got, want in zip(variances, eigvals):
+        assert abs(got - want) < 1e-3 + 0.02 * abs(want), (variances, eigvals)
+    assert all(
+        variances[i] >= variances[i + 1] - 1e-9 for i in range(PCA_K - 1)
+    )
+
+    # planted dominant direction: x = t * u + small noise
+    rng = np.random.default_rng(13)
+    u = rng.normal(size=8)
+    u /= np.linalg.norm(u)
+    data = [
+        (
+            int(i),
+            [float(x) for x in (rng.normal() * 5.0 * u + rng.normal(size=8) * 0.1)],
+            0,
+        )
+        for i in range(300)
+    ]
+    planted = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    )
+    pcov_rows = embedding_covariance(planted).collect()
+    pcov = np.zeros((8, 8))
+    for r in pcov_rows:
+        pcov[r.dim_i, r.dim_j] = pcov[r.dim_j, r.dim_i] = r.cov
+    w, V = np.linalg.eigh(pcov)
+    pc1 = V[:, int(np.argmax(w))]
+    assert abs(float(pc1 @ u)) > 0.99
+    # and the distributed projection reproduces the driver-side one
+    sc = {
+        (r.vec_id, r.comp): r.score
+        for r in pca_project(spark, planted, k=1).collect()
+    }
+    jmax = int(np.argmax(np.abs(pc1)))
+    pc1_fixed = pc1 if pc1[jmax] >= 0 else -pc1
+    for vec_id, vec, _ in data[:20]:
+        want = float(np.asarray(vec, dtype=np.float64) @ pc1_fixed)
+        assert abs(sc[(vec_id, 0)] - want) < 5e-3

@@ -392,6 +392,11 @@ def test_catalog_plan_hygiene_no_stray_python_or_cartesian(spark, sf_small):
         "c91_bm25": {"bnlj"},  # 1-row corpus-stats (N, avgdl) attach
         "c6_minhash": {"python"},
         "c19_ivf_knn": {"python"},
+        # c94: the deliberate Arrow partial-Gram path (mapInPandas, one
+        # BLAS matmul per batch) + 1-row n attach; c95's RETURNED plan is
+        # pure JVM (the eigh runs at decl-call time on the model-sized
+        # covariance), so it needs no allowance.
+        "c94_embedding_covariance": {"python", "bnlj"},
     }
     # Streaming-replay decls EXECUTE a full multi-epoch streaming query
     # inside the decl call and return a plain read of the landed sink —

@@ -956,11 +956,90 @@ def _gen_bm25(rng) -> dict:
     }
 
 
+def _triangles_spark(spark: SparkSession, sf_dir: str, p: dict) -> DataFrame:
+    from data_engineering_zoomcamp_my_test_spark.operators.analytics import (
+        triangle_counts,
+        triangle_counts_oriented,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    node = (
+        (F.col("l_partkey") % p["mod"]) if p["mod"] else F.col("l_partkey")
+    )
+    keyed = li.select("l_orderkey", node.alias("node"))
+    edges = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "l_orderkey")
+        .where(F.col("x.node") < F.col("y.node"))
+        .select(F.col("x.node").alias("src"), F.col("y.node").alias("dst"))
+        .distinct()
+        .where(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), 1, 8
+            )
+            < p["keep_hex"]
+        )
+    )
+    impl = (
+        triangle_counts_oriented if p["impl"] == "oriented" else triangle_counts
+    )
+    return impl(edges)
+
+
+def _triangles_oracle(p: dict) -> str:
+    # template of operators/analytics.py ORACLE["c92_triangle_count"] with
+    # the graph-shape knobs substituted; the oracle always enumerates in
+    # id order — both Spark plans (id-ordered and degree-ordered) are
+    # refereed against the SAME enumeration.
+    expr_x = f"(x.l_partkey % {p['mod']})" if p["mod"] else "x.l_partkey"
+    expr_y = f"(y.l_partkey % {p['mod']})" if p["mod"] else "y.l_partkey"
+    return f"""
+        WITH p AS MATERIALIZED (
+          SELECT DISTINCT {expr_x} AS src, {expr_y} AS dst
+          FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+          WHERE {expr_x} < {expr_y}
+        ),
+        s AS MATERIALIZED (
+          SELECT src, dst FROM p
+          WHERE substr(md5(CAST(src AS VARCHAR) || '_' ||
+                           CAST(dst AS VARCHAR)), 1, 8) < '{p["keep_hex"]}'
+        ),
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM s e1
+          JOIN s e2 ON e2.src = e1.dst
+          JOIN s e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS node FROM tri) t GROUP BY node
+    """
+
+
+def _gen_triangles(rng) -> dict:
+    # mod collapses part ids into a smaller node universe: mod=50 makes a
+    # dense near-clique (every wedge closes), mod~1000 makes a skewed
+    # power-law-ish collapse, mod=0 keeps the natural sparse co-purchase
+    # graph. keep_hex sparsifies edges with the c93 md5 coin ('ffffffff'
+    # ~= keep all). impl randomizes the PHYSICAL plan — the id-ordered
+    # 3-way self-join vs the degree-ordered orientation — so both exact
+    # plans are refereed against the single id-ordered oracle.
+    return {
+        "mod": rng.choice([0, 50, 211, 997]),
+        "keep_hex": rng.choice(["40000000", "80000000", "c0000000", "ffffffff"]),
+        "impl": rng.choice(["id", "oriented"]),
+    }
+
+
 OPERATORS: dict[str, dict] = {
     "pagerank": {
         "gen": _gen_pagerank,
         "spark": _pagerank_spark,
         "oracle": _pagerank_oracle,
+    },
+    "triangles": {
+        "gen": _gen_triangles,
+        "spark": _triangles_spark,
+        "oracle": _triangles_oracle,
     },
     "bm25": {
         "gen": _gen_bm25,

@@ -704,7 +704,7 @@ PAGERANK_ITER = 8
 
 
 def pagerank(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     node_col: str = "node",
     src_col: str = "src",
@@ -712,6 +712,7 @@ def pagerank(
     n_iter: int = PAGERANK_ITER,
     damping: float = PAGERANK_DAMPING,
     checkpoint: bool = True,
+    complete_inbound: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) as an iterative
     DataFrame computation — the catalog's second iterative-graph operator
@@ -741,13 +742,33 @@ def pagerank(
     ``checkpoint=False`` skips the lineage cuts so the composed
     iteration PLAN stays inspectable (plan-posture tests); production
     and the decl keep the default.
+
+    r13 optimizations (result-identical, measured 1.4x at sf0.1):
+
+    - ``edges`` is cut FIRST, before anything derives from it: deg, eout
+      and (for ``nodes=None`` callers) the vertex set all branch off the
+      materialized edge relation, so the possibly-expensive edge
+      derivation (the decl's lineitem self-join + distinct) executes
+      exactly once instead of once per pre-loop checkpoint job.
+    - ``nodes=None`` derives the vertex set as DISTINCT src of the cut
+      edges — the caller passing ``edges.select(src).distinct()`` built
+      from the *uncut* plan would silently re-run the derivation.
+    - ``complete_inbound=True`` (caller-asserted: every node has at
+      least one inbound edge, e.g. any symmetric edge set) replaces the
+      per-iteration ``nodes LEFT JOIN sums`` + coalesce with a direct
+      projection of ``sums`` — one fewer node-keyed shuffle join per
+      iteration, same values (the left join's null arm is unreachable
+      when every node receives a contribution).
     """
     cut = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
-    # Checkpoint nodes BEFORE anything derives from it: the loop body joins
-    # against nodes every iteration, so an uncut nodes lineage (in the decl,
-    # a lineitem self-join + distinct) would re-execute n_iter times.  n_row
-    # is likewise cut so the broadcast count is a materialized one-row scan,
-    # not a per-iteration re-aggregation of the node relation.
+    edges = cut(edges)
+    if nodes is None:
+        nodes = edges.select(F.col(src_col).alias(node_col)).distinct()
+    # Checkpoint nodes BEFORE anything else derives from it: the loop body
+    # (in the default arm) joins against nodes every iteration, so an uncut
+    # nodes lineage would re-execute n_iter times.  n_row is likewise cut so
+    # the broadcast count is a materialized one-row scan, not a
+    # per-iteration re-aggregation of the node relation.
     nodes = cut(nodes)
     n_row = cut(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -765,17 +786,28 @@ def pagerank(
             (F.col("rank") / F.col("outdeg")).alias("contrib"),
         )
         sums = contribs.groupBy(node_col).agg(F.sum("contrib").alias("s"))
-        ranks = cut(
-            nodes.join(sums, node_col, "left")
-            .crossJoin(F.broadcast(n_row))
-            .select(
-                node_col,
-                (
-                    F.lit(teleport) / F.col("n_nodes")
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
+        if complete_inbound:
+            ranks = cut(
+                sums.crossJoin(F.broadcast(n_row)).select(
+                    node_col,
+                    (
+                        F.lit(teleport) / F.col("n_nodes")
+                        + F.lit(damping) * F.col("s")
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            ranks = cut(
+                nodes.join(sums, node_col, "left")
+                .crossJoin(F.broadcast(n_row))
+                .select(
+                    node_col,
+                    (
+                        F.lit(teleport) / F.col("n_nodes")
+                        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
     return ranks
 
 
@@ -796,7 +828,15 @@ def pagerank_copurchase(
     the fixed iterations each shuffle the edge relation once on src and
     the contribution sums once on dst. Float sums differ across partition
     orders at the last ulp, so the contract rounds to 6 decimals — same
-    convention as c37/c42/c69."""
+    convention as c37/c42/c69.
+
+    r13: ``nodes=None`` lets pagerank() derive the vertex set from its
+    once-materialized edge relation (previously the nodes checkpoint
+    re-ran the full self-join), and the symmetric-by-construction graph
+    satisfies ``complete_inbound`` — every node receives a contribution
+    every round, so the per-iteration nodes left join is skipped.
+    Result-identical (value-compared at sf0.1 and hash-checked against
+    the unchanged oracle); 1.4x wall-clock at sf0.1."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
         li.alias("a")
@@ -808,8 +848,9 @@ def pagerank_copurchase(
         )
         .distinct()
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    pr = pagerank(nodes, edges, n_iter=n_iter, damping=damping)
+    pr = pagerank(
+        None, edges, n_iter=n_iter, damping=damping, complete_inbound=True
+    )
     return pr.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -849,7 +890,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def oriented_triangles(edges: DataFrame) -> DataFrame:
+def oriented_triangles(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Closed triangles (a, b, c) of an undirected graph given as
     CANONICAL edges (src < dst, deduped), computed with DEGREE-ORDERED
     orientation — the exact skew mitigation the id-ordered plan lacks
@@ -872,10 +913,23 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     Shuffles: two node-keyed degree attaches (node-sized), the wedge
     self-join keyed on the source corner, and the closure join keyed on
     (b, c) — all keyed, no cartesian. Output columns (a, b, c) are in
-    RANK order (deg, then id), not id order."""
+    RANK order (deg, then id), not id order.
+
+    ``checkpoint=True`` (r13): the shared relations — ``edges`` (in the
+    decl, a lineitem self-join + distinct) and the directed relation
+    ``d`` (referenced by BOTH wedge sides and the closure probe) — are
+    ``localCheckpoint``ed once, the same lineage policy as pagerank().
+    Without the cuts Catalyst inlines every reference: the composed c92
+    plan instantiated the edge derivation 15x (60 parquet scans, 64
+    Exchanges, zero ReusedExchange) — at 100x that is 15 redundant
+    passes over the fact table. ``checkpoint=False`` keeps the pure
+    composed plan inspectable for plan-posture tests."""
+    cut = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    edges = cut(edges)
     deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -889,10 +943,12 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
         )
     )
     src_first = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
-    d = e.select(
-        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("x"),
-        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("y"),
-        F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("ydeg"),
+    d = cut(
+        e.select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("x"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("y"),
+            F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("ydeg"),
+        )
     )
     w = (
         d.alias("p")
@@ -911,12 +967,14 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     return w.join(closer, ["b", "c"])
 
 
-def triangle_counts_oriented(edges: DataFrame) -> DataFrame:
+def triangle_counts_oriented(
+    edges: DataFrame, checkpoint: bool = True
+) -> DataFrame:
     """Per-node triangle counts via the degree-ordered plan — exact, same
     result as triangle_counts(), O(m^1.5) wedge work instead of
     sum deg^2."""
     return (
-        oriented_triangles(edges)
+        oriented_triangles(edges, checkpoint=checkpoint)
         .select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
                 "node"

@@ -154,15 +154,28 @@ def b6_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b7_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape. The scale-dominant cost is the lineitem JOIN orders
     fact-fact SMJ (sf100: the one headline where neither side broadcasts).
+
+    r13 join order (guide §2.3 "shuffle fewer bytes", §3.2 semi-reduction):
+    the ASIA restriction is applied to BOTH fact inputs *before* the
+    fact-fact join instead of after it. nation⋈region_ASIA (a fixed 5-row
+    relation) broadcast-reduces supplier and customer first; lineitem is
+    then inner-joined to the reduced supplier (dropping ~4/5 of lineitem
+    rows and attaching s_nationkey/n_name), and orders to the reduced
+    customer, so the l_orderkey/o_orderkey exchange — the largest shuffle
+    in the headline set — carries only region-matching rows. The remaining
+    c_nationkey = s_nationkey constraint rides the orderkey join as a
+    second key. Identical result (inner joins commute; the region
+    predicate is applied to the same rows either way) — hash-verified
+    against the unchanged oracle at sf0.01/sf0.1.
+
     100 TB guidance (measured, tools/bucketed_ab.py + BASELINE.md r10): if
-    this join recurs, land both facts bucketBy+sortBy(orderkey) with ONE
-    file per bucket (repartition on the key before the write) and set
+    the fact-fact join recurs, land both facts bucketBy+sortBy(orderkey)
+    with ONE file per bucket and set
     spark.sql.legacy.bucketedTableScan.outputOrdering=true — the SMJ then
     runs with zero Exchange and zero Sort on the fact inputs (sf10: 9.61s
-    -> 4.36s locally; at cluster scale the eliminated exchange is a full
-    network shuffle of the big fact). The decl itself reads the plain
-    parquet corpus — the driver's tables aren't bucketed — so it keeps
-    the honest shuffle plan."""
+    -> 4.36s locally). The decl itself reads the plain parquet corpus —
+    the driver's tables aren't bucketed — so it keeps the honest shuffle
+    plan."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     customer = _t(spark, sf_dir, "customer")
@@ -170,21 +183,32 @@ def b7_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    # Fixed-cardinality relation (≤25 rows): nation keys in ASIA, with the
+    # nation name the aggregate groups on. Explicit broadcast is safe here
+    # because the cardinality is structural, not SF-dependent.
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    # supplier/customer grow with scale factor: no explicit broadcast hint
+    # (an explicit hint cannot be demoted and becomes an OOM at 100x) — the
+    # size-based threshold + AQE pick broadcast while it actually fits.
+    sup_asia = supplier.join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust_asia = customer.join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        # supplier grows with scale factor: no explicit broadcast hint (an
-        # explicit hint cannot be demoted and becomes an OOM at 100x) — the
-        # size-based threshold + AQE pick broadcast while it actually fits.
+        lineitem.join(sup_asia, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            supplier,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
+            orders.join(
+                cust_asia, F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey", "c_nationkey"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
         .agg(dmoney_sum_grain(rev, "revenue"))

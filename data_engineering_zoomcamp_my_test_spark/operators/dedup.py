@@ -463,11 +463,23 @@ def token_jaccard_pairs(
     toks_expr = (
         tokens if tokens is not None else F.array_distinct(F.split("text", " "))
     )
-    base = docs.select(
-        "doc_id",
-        *blk,
-        toks_expr.alias("toks"),
-    ).withColumn("n_tok", F.size("toks"))
+    # Tokenizing is the expensive corpus pass (shingle construction is
+    # O(text) per row) and ``base`` feeds 3-4 plan references (explode for
+    # the token-frequency agg, the ranked prefix build, and both verify
+    # sides) — Catalyst inlines each reference, so without a lineage cut
+    # the corpus is re-scanned and re-tokenized per reference (measured:
+    # 12 parquet scans in the c56 plan). One localCheckpoint makes it a
+    # single pass (guide §2.4 / §5); every downstream consumer reads the
+    # materialized (doc_id, toks, n_tok) relation.
+    base = (
+        docs.select(
+            "doc_id",
+            *blk,
+            toks_expr.alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .localCheckpoint()
+    )
     # Two-step plan probe, cheap in the big-corpus case: first scan a
     # bounded document sample — if IT already exceeds 64 distinct tokens,
     # the prefix plan is forced with no full-corpus work. Only a sample
@@ -505,7 +517,11 @@ def _jaccard_pairs_bitset(
         f"cast(array_position(array({quoted}), t) - 1 as int))), "
         f"0L, (acc, x) -> acc | x)"
     )
-    m = base.select("doc_id", *([block_col] if block_col else []), mask.alias("mask"), "n_tok")
+    # The mask projection (array_position per token) feeds both self-join
+    # sides; cut once so it is computed once.
+    m = base.select(
+        "doc_id", *([block_col] if block_col else []), mask.alias("mask"), "n_tok"
+    ).localCheckpoint()
     a, b = m.alias("a"), m.alias("b")
     cond = (
         (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -572,7 +588,11 @@ def _jaccard_pairs_prefix(
     prefix_len = (
         F.col("n_tok") - F.ceil(F.round(F.col("n_tok") * F.lit(threshold), 6)) + 1
     )
-    prefix = ranked.filter(F.col("rnk") <= prefix_len)
+    # Both sides of the candidate self-join reference ``prefix``; cutting
+    # lineage here materializes the explode -> frequency join -> rank
+    # window chain once instead of twice (the two window Exchanges are not
+    # recognized as reusable once one side broadcasts).
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).localCheckpoint()
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (

@@ -471,8 +471,17 @@ def token_jaccard_pairs(
     # 12 parquet scans in the c56 plan). One localCheckpoint makes it a
     # single pass (guide §2.4 / §5); every downstream consumer reads the
     # materialized (doc_id, toks, n_tok) relation.
+    # ``_spread_for_cpu`` before a *custom* set expression (c56's 3-gram
+    # shingles: an interpreted higher-order transform, the CPU-dominant
+    # pass): a corpus arriving as few parquet files (or as an
+    # AQE-coalesced checkpoint in the collapse recursion) would tokenize
+    # on as few cores. For the default word split the expression is
+    # cheaper than the round-robin shuffle (A/B-measured), so plain docs
+    # feed the pass directly.
+    src = _spread_for_cpu(docs) if tokens is not None else docs
     base = (
-        docs.select(
+        src
+        .select(
             "doc_id",
             *blk,
             toks_expr.alias("toks"),
@@ -749,7 +758,10 @@ def _simhash_band_pairs(
                 ]
             )
         ).alias("band", "chunk"),
-    )
+    # both self-join sides reference ``bands``, and Catalyst inlines each
+    # reference — without a lineage cut the whole upstream fingerprint
+    # pipeline (token explode + per-bit vote aggregate) executes twice
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1189,9 +1201,15 @@ def simhash_moments(
             "pigeonhole recall guarantee; need n_bands > max_hamming"
         )
     base = docs.filter(F.col("text").isNotNull())
+    # four consumers (fingerprint build, both size joins, intra agg) —
+    # cut lineage so the text-keyed aggregate runs once (guide §2.4)
     groups = base.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")
-    )
+    ).localCheckpoint()
+    # (a _spread_for_cpu before the fingerprint build was A/B-measured
+    # slower here — simhash's bitwise vote sums are cheap enough that the
+    # round-robin shuffle costs more than the parallelism buys, unlike
+    # minhash_moments' k x md5+conv slot hashes)
     sh = simhash(groups, bits=bits, portable=True)
     rep_pairs = _simhash_band_pairs(sh, max_hamming, n_bands, bits=bits)
     szs = groups.select("doc_id", "sz")
@@ -1258,45 +1276,67 @@ def minhash_moments(
         raise ValueError(f"n_bands={n_bands} must divide k={k}")
     rows_per_band = k // n_bands
     base = docs.filter(F.col("text").isNotNull())
+    # ``groups`` feeds four consumers (signature build, both size joins,
+    # the intra-pair aggregate); cut lineage so the text-keyed aggregate
+    # runs once instead of four times (guide §2.4).
     groups = base.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")
-    )
-    sh = groups.select(
+    ).localCheckpoint()
+    # AQE coalesces the small text-keyed shuffle to ~1 partition; without a
+    # spread the k-hash signature build (the CPU-dominant stage) runs on
+    # one core. Round-robin repartition of the collapsed relation is
+    # ~free and restores full parallelism.
+    sh = _spread_for_cpu(groups).select(
         "doc_id", F.explode(F.expr(_SHINGLE_SET_EXPR)).alias("shingle")
     )
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "i",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    bands = (
-        mins.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x["mh"].cast("string"),
+    # All k slot minima in ONE doc-keyed aggregate: k md5 expressions per
+    # (doc, shingle) row instead of a k-way row explode through the hash
+    # aggregate — same hash count, 1/k the aggregated rows, and one
+    # shuffle instead of two (the old plan re-grouped (doc, slot) minima
+    # by (doc, band); band keys are now a pure projection of the slot
+    # minima, which are already in slot order — identical '-'-joined
+    # keys).
+    def _slot_hash(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
                 ),
-            ).alias("bkey")
+                16,
+                10,
+            )
+            .cast("long")
         )
+
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(_slot_hash(i)).alias(f"mh{i}") for i in range(k)]
     )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).cast("int").alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"mh{i}").cast("string")
+                                for i in range(
+                                    bd * rows_per_band, (bd + 1) * rows_per_band
+                                )
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for bd in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    # the band relation feeds both sides of the bucket self-join — cut it
+    # so the shingle explode + k-hash aggregate runs once, not twice
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     rep_pairs = (
         a.join(

@@ -196,7 +196,11 @@ def lsh_candidate_pairs(
         mapping, reps = _collapse_exact(docs, None)
         rep_pairs = lsh_candidate_pairs(reps, jvm=jvm, collapse_exact=False)
         return _expand_pairs(rep_pairs, mapping)
-    bands = minhash_bands_jvm(docs) if jvm else minhash_bands(docs)
+    # Both self-join sides reference ``bands``; Catalyst inlines each
+    # reference, so without a lineage cut the whole signature pipeline
+    # (shingle explode + 32 array_min hash evaluations per doc) executes
+    # twice — the same shared-relation policy as _simhash_band_pairs.
+    bands = (minhash_bands_jvm(docs) if jvm else minhash_bands(docs)).localCheckpoint()
     left = bands.alias("l")
     right = bands.alias("r")
     return (

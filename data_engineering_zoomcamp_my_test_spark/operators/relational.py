@@ -1142,8 +1142,19 @@ def b55_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # The part restriction commutes with the per-part min (the aggregate
+    # is keyed on l_partkey and the final winner⋈part join is inner), so
+    # it is applied to lineitem BEFORE the catalog aggregate as a
+    # broadcast semi-join on the filtered part keys — the supplier join
+    # and the (partkey, suppkey) aggregate then see only qualifying
+    # parts' rows instead of the full table (guide §3.2).
     catalog = (
-        li.join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .join(rsupp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(money("l_extendedprice")).alias("_cost"))
     )

@@ -523,7 +523,14 @@ def lsh_blocked_neardup(
     # verification, so the exact cosine is computed once per unique
     # candidate pair instead of once per colliding table (near-dups — the
     # whole point of OR-amplification — collide in many tables).
-    buckets = proj.select("vec_id", F.posexplode(keys).alias("_table", "_bucket"))
+    # Both self-join sides reference ``buckets``; Catalyst inlines each
+    # reference, so without a lineage cut the whole BRP projection
+    # (vector conversion + L*k random-projection hashes per row) executes
+    # twice. The materialized relation is slim by construction
+    # (vec_id + bucket key only — see the comment above).
+    buckets = proj.select(
+        "vec_id", F.posexplode(keys).alias("_table", "_bucket")
+    ).localCheckpoint()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -220,19 +220,27 @@ def bm25_scores(
         raise ValueError("bm25_scores: query_terms must be non-empty")
     q = spark.createDataFrame([(t,) for t in query_terms], "tok string")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # ``tf`` feeds BOTH the df aggregate and the contribution join;
+    # Catalyst inlines each reference, so without a lineage cut the
+    # corpus-sized explode + semi-join runs twice. The materialized
+    # relation is |docs| x |query_terms| rows at most — tiny.
     tf = (
         toks.join(F.broadcast(q), "tok")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     # df per query term: tf is one row per (doc, term), so count(*) = df
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
     )
-    stats = docs.agg(
+    # corpus stats derive from ``dl`` (same values by construction:
+    # avg(dl) over all docs), sparing a third scan + tokenization pass
+    # of the corpus.
+    stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     one_minus_b = 1.0 - b
     contrib = (

@@ -1540,6 +1540,12 @@ def dup_spans(
     )
     if hash_grams:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
+    # ``grams`` feeds BOTH the >=2-docs aggregate and the position-mark
+    # join; Catalyst inlines each reference (no exchange to reuse — the
+    # join side consumes grams unshuffled), so without a lineage cut the
+    # k-gram explode executes twice. One materialization of the gram
+    # relation beats a second corpus tokenization + slice pass.
+    grams = grams.localCheckpoint()
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -598,16 +598,46 @@ def b27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- B39: multiset set-ops (EXCEPT ALL / INTERSECT ALL) -----------------------
 
 def b39_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag semantics set ops: duplicates preserved (vs b19's set semantics)."""
+    """Bag semantics set ops: duplicates preserved (vs b19's set semantics).
+
+    Computed as ONE pass + ONE keyed shuffle instead of materializing the
+    EXCEPT ALL / INTERSECT ALL row streams: for a key with na copies in
+    side A and nb in side B, EXCEPT ALL contributes max(na-nb, 0) rows and
+    INTERSECT ALL min(na, nb) — so the counts are sums of those terms over
+    the per-key conditional counts (guide §2.3/§2.4: the naive form scans
+    lineitem 4x and shuffles both full row streams per set op; this form
+    shuffles one partial-aggregated (key, na, nb) row per orderkey).
+    Result-identical to the exceptAll/intersectAll formulation by the
+    multiset definitions above (oracle-hash-verified)."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey")
-    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    tag = lambda df, t: df.agg(F.count(F.lit(1)).alias("n")).select(  # noqa: E731
-        F.lit(t).alias("op"), "n"
+    in_a = F.col("l_quantity") >= 25
+    in_b = F.col("l_returnflag") == "R"
+    counts = (
+        li.filter(in_a | in_b)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.when(in_a, 1)).alias("na"),
+            F.count(F.when(in_b, 1)).alias("nb"),
+        )
     )
-    return tag(a.exceptAll(b), "except_all").unionAll(
-        tag(a.intersectAll(b), "intersect_all")
+    tot = counts.agg(
+        F.coalesce(
+            F.sum(F.greatest(F.col("na") - F.col("nb"), F.lit(0))), F.lit(0)
+        ).alias("ea"),
+        F.coalesce(F.sum(F.least("na", "nb")), F.lit(0)).alias("ia"),
     )
+    return tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("except_all").alias("op"), F.col("ea").alias("n")
+                ),
+                F.struct(
+                    F.lit("intersect_all").alias("op"), F.col("ia").alias("n")
+                ),
+            )
+        ).alias("r")
+    ).select("r.op", "r.n")
 
 
 # --- B40: null-safe comparison (IS DISTINCT FROM) -----------------------------

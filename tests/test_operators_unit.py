@@ -1465,3 +1465,41 @@ def test_triangle_doulion_unbiased_on_copurchase(spark, sf_small):
         f"DOULION estimate {est_row.est_triangles} vs exact {exact}: "
         f"rel err {rel_err:.3f}"
     )
+
+
+def test_b39_setops_all_matches_exceptall_form(spark, tmp_path):
+    """b39's one-pass conditional-count form must equal the literal
+    EXCEPT ALL / INTERSECT ALL formulation on a constructed multiset that
+    hits every per-key regime: na>nb, na<nb, A-only, B-only, a row in
+    BOTH sides at once, and rows in neither."""
+    from data_engineering_zoomcamp_my_test_spark.operators.relational import (
+        b39_setops_all,
+    )
+
+    rows = (
+        # k1: na=3, nb=1 -> except 2, intersect 1
+        [(1, 30.0, "N")] * 3 + [(1, 10.0, "R")]
+        # k2: na=1, nb=2 -> except 0, intersect 1
+        + [(2, 30.0, "N")] + [(2, 10.0, "R")] * 2
+        # k3: A-only, na=2 -> except 2
+        + [(3, 25.0, "N")] * 2
+        # k4: B-only, nb=2 -> nothing
+        + [(4, 1.0, "R")] * 2
+        # k5: neither side
+        + [(5, 1.0, "N")]
+        # k6: one row in BOTH sides -> na=1, nb=1 -> intersect 1
+        + [(6, 40.0, "R")]
+    )
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_quantity double, l_returnflag string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {r.op: r.n for r in b39_setops_all(spark, str(tmp_path)).collect()}
+    assert out == {"except_all": 4, "intersect_all": 3}
+
+    # literal-form differential on the same data
+    a = df.filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    b = df.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    assert a.exceptAll(b).count() == out["except_all"]
+    assert a.intersectAll(b).count() == out["intersect_all"]

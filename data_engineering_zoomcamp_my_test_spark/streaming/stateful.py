@@ -170,7 +170,13 @@ def streaming_user_ledger_exact(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = _drive_append_mode(
-        spark, ledger, query_name, checkpoint, sink_dir, output_mode="update"
+        spark,
+        ledger,
+        query_name,
+        checkpoint,
+        sink_dir,
+        output_mode="update",
+        source_dir=source_dir,
     )
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F

@@ -827,10 +827,14 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         F.slice(toks, 1, n - 1).alias("w1"),
         F.slice(toks, 2, n - 1).alias("w2"),
     )
+    # ``bi`` feeds BOTH the count aggregate and the scoring join;
+    # Catalyst inlines each reference, so without a lineage cut the
+    # corpus tokenization + zip-of-slices explode executes twice.
     bi = (
         docs.filter(n >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint()
     )
     big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -896,10 +900,23 @@ def pmi_collocations(
         .select("p.w1", "p.w2")
     )
     uni = docs.select(F.explode(toks).alias("t"))
-    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unic = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    totals = bi.agg(F.count(F.lit(1)).alias("b_total")).crossJoin(
-        uni.agg(F.count(F.lit(1)).alias("t_total"))
+    # The aggregated count tables each feed two+ consumers (the PMI joins
+    # and the corpus totals); cut their lineage so the bigram/unigram
+    # explodes and grouping shuffles run once — the materialized relations
+    # are vocabulary-sized, far smaller than the token streams. The
+    # totals then DERIVE from the aggregates (sum of counts == row count
+    # of the un-aggregated stream, exact integer identity), sparing two
+    # more full corpus passes.
+    big = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    unic = (
+        uni.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    totals = big.agg(F.sum("c12").alias("b_total")).crossJoin(
+        unic.agg(F.sum("c").alias("t_total"))
     )
     c1 = unic.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
     c2 = unic.select(F.col("t").alias("w2"), F.col("c").alias("c2"))

@@ -264,6 +264,11 @@ def mad_anomaly(ev: DataFrame, threshold: float = 3.5) -> DataFrame:
             "n_events",
         )
     )
+    # ``hourly`` feeds the median fit AND the deviation join; Catalyst
+    # inlines each reference, so without a lineage cut the corpus-sized
+    # rollup (the ONE events pass this plan pays) executes twice. The
+    # materialized relation is (type x hour) rows — calendar-bounded.
+    hourly = hourly.localCheckpoint()
     med = hourly.groupBy("event_type").agg(
         F.percentile("n_events", F.lit(0.5)).alias("med")
     )
@@ -331,7 +336,12 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     count — AQE broadcasts the size side). Week arithmetic stays in exact
     day-difference integer math, portable to the oracle."""
     wk = F.date_trunc("week", F.col("ts"))
-    active = events.select("user_id", wk.alias("wk")).distinct()
+    # ``active`` feeds the cohort aggregate AND the cell join (keyed on
+    # (user, wk) vs user — no reusable exchange), and ``cells`` feeds the
+    # size filter AND the final join: each inlined reference re-runs the
+    # events scan + distinct. Cut both — active is (users x weeks) rows,
+    # cells is calendar-bounded — so the corpus is scanned once.
+    active = events.select("user_id", wk.alias("wk")).distinct().localCheckpoint()
     first = active.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     cells = (
         active.join(first, "user_id")
@@ -342,6 +352,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .groupBy("cohort", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
+        .localCheckpoint()
     )
     size = cells.filter(F.col("week_offset") == 0).select(
         "cohort", F.col("n_users").alias("_size")

@@ -401,25 +401,40 @@ def b18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- B19: set operations -------------------------------------------------------------
 
 def b19_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics EXCEPT/INTERSECT/UNION counts over yearly customer
+    sets, as ONE pass + ONE keyed shuffle (guide §2.3/§2.4): per custkey
+    the two membership bits (any 1995 order / any 1996 order) come from
+    one conditional aggregate, and the three counts are conditional sums
+    over the membership table — the literal subtract/intersect/union
+    formulation scans orders 6x and runs 6 distinct shuffles for the
+    same three numbers (result-identical by the set definitions;
+    oracle-hash-verified)."""
     orders = _t(spark, sf_dir, "orders")
-    y95 = (
-        orders.filter(F.year("o_orderdate") == 1995)
-        .select("o_custkey")
-        .distinct()
+    yr = F.year("o_orderdate")
+    members = (
+        orders.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(yr == 1995).alias("in95"),
+            F.max(yr == 1996).alias("in96"),
+        )
     )
-    y96 = (
-        orders.filter(F.year("o_orderdate") == 1996)
-        .select("o_custkey")
-        .distinct()
+    tot = members.agg(
+        F.count(F.when(F.col("in95") & ~F.col("in96"), 1)).alias("ex"),
+        F.count(F.when(F.col("in95") & F.col("in96"), 1)).alias("inter"),
+        F.count(F.lit(1)).alias("un"),
     )
-    tag = lambda df, t: df.agg(F.count(F.lit(1)).alias("n")).select(  # noqa: E731
-        F.lit(t).alias("op"), "n"
-    )
-    return (
-        tag(y95.subtract(y96), "except")
-        .unionAll(tag(y95.intersect(y96), "intersect"))
-        .unionAll(tag(y95.union(y96).distinct(), "union"))
-    )
+    return tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("except").alias("op"), F.col("ex").alias("n")),
+                F.struct(
+                    F.lit("intersect").alias("op"), F.col("inter").alias("n")
+                ),
+                F.struct(F.lit("union").alias("op"), F.col("un").alias("n")),
+            )
+        ).alias("r")
+    ).select("r.op", "r.n")
 
 
 # --- B20: CASE WHEN --------------------------------------------------------------------

@@ -1503,3 +1503,39 @@ def test_b39_setops_all_matches_exceptall_form(spark, tmp_path):
     b = df.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     assert a.exceptAll(b).count() == out["except_all"]
     assert a.intersectAll(b).count() == out["intersect_all"]
+
+
+def test_b19_setops_matches_literal_form(spark, tmp_path):
+    """b19's one-pass membership-bit form must equal the literal
+    subtract/intersect/union-distinct formulation on a constructed orders
+    table covering: 95-only, 96-only, both-years, multi-order-per-year
+    (set semantics must not double-count), and other-year customers."""
+    import datetime as dt
+
+    from data_engineering_zoomcamp_my_test_spark.operators.relational import (
+        b19_setops,
+    )
+
+    d95, d96, d94 = (
+        dt.date(1995, 3, 1),
+        dt.date(1996, 7, 2),
+        dt.date(1994, 1, 5),
+    )
+    rows = [
+        (1, d95), (1, d95),          # 95-only, duplicate orders
+        (2, d96),                    # 96-only
+        (3, d95), (3, d96), (3, d96),  # both years
+        (4, d94),                    # neither year
+        (5, d95), (5, d94),          # 95-only plus other-year noise
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate date")
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = {r.op: r.n for r in b19_setops(spark, str(tmp_path)).collect()}
+    assert out == {"except": 2, "intersect": 1, "union": 4}
+
+    y95 = df.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = df.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    assert y95.subtract(y96).count() == out["except"]
+    assert y95.intersect(y96).count() == out["intersect"]
+    assert y95.union(y96).distinct().count() == out["union"]

@@ -169,6 +169,14 @@ def streaming_user_ledger_exact(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # Deliberately NOT passing source_dir: the byte-derived replay
+    # partition sizing targets state-store lifecycle overhead, but this
+    # operator's cost is Python CPU in the per-row exact-cents loop,
+    # which parallelizes across state partitions (one Python worker
+    # each) — fewer partitions = fewer workers. Measured on an idle box
+    # at sf0.1: 5.6 s at the session's 32 partitions vs 6.5 s at the
+    # byte-derived 4. Compute-bound stateful ops size by cores, not by
+    # state bytes.
     out = _drive_append_mode(
         spark,
         ledger,
@@ -176,7 +184,6 @@ def streaming_user_ledger_exact(
         checkpoint,
         sink_dir,
         output_mode="update",
-        source_dir=source_dir,
     )
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F

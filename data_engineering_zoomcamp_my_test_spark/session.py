@@ -92,6 +92,20 @@ class EngineConfig:
             .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             .config("spark.ui.enabled", str(self.ui_enabled).lower())
             .config("spark.sql.cbo.enabled", "true")
+            # Runtime Bloom-filter injection (SPARK-32268, default ON) never
+            # fires at test SFs — the application side must scan >10 GB
+            # (applicationSideScanSizeThreshold), so this is inert locally —
+            # but at 100x the fact-fact joins (b7's lineitem⋈orders, the
+            # TPC-H shapes) qualify, and the default 10 MB creation-side
+            # cap then suppresses the filter exactly where it pays
+            # (guide §3.2: "for bigger build sides raise
+            # creationSideThreshold"). 256 MB admits a region-reduced
+            # orders/part build side at cluster scale; the filter is
+            # semantically transparent (no false negatives).
+            .config(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                str(256 * 1024 * 1024),
+            )
         )
         for k, v in self.extra.items():
             b = b.config(k, v)

@@ -111,6 +111,29 @@ def _make_exact_ledger_fn():
             .scaleb(2)
         )
 
+    def _cents_batch(vals) -> int:
+        """Vectorized exact-cents sum (guide §4.2) with a PROVEN-safe
+        fast path: for |v| < 1e6 the shortest-repr real r and the float
+        product fl(100·v) each differ from 100·v by < 1.5e-8, so they
+        differ from each other by < 3e-8; when fl(100·v) is at least
+        2e-7 away from a half-integer boundary, rint(fl(100·v)) equals
+        HALF_UP(r, 2 dp) — the scalar _cents result — exactly. Values
+        near a tie boundary, large values, and non-finite values take
+        the per-value Decimal path (ties: ROUND_HALF_UP on the decimal
+        repr cannot be reproduced by any float rounding). Differentially
+        pinned against the scalar loop incl. adversarial x.xx5 ties in
+        tests/test_stateful_streaming.py."""
+        import numpy as np
+
+        x = vals.to_numpy(dtype="float64", copy=False) * 100.0
+        c = np.rint(x)
+        with np.errstate(invalid="ignore"):
+            safe = (np.abs(x - c) < 0.5 - 2e-7) & (np.abs(x) < 1e8)
+        total = int(c[safe].astype(np.int64).sum())
+        for v in vals.to_numpy()[~safe]:
+            total += _cents(v)
+        return total
+
     def update_user_ledger(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -125,7 +148,7 @@ def _make_exact_ledger_fn():
             vals = pdf["value"]
             vals = vals[vals.notna()]
             n_vals += len(vals)
-            cents += sum(_cents(v) for v in vals)
+            cents += _cents_batch(vals)
         state.update((n, cents, n_vals))
         yield pd.DataFrame(
             {

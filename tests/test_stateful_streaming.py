@@ -159,3 +159,60 @@ def test_ledger_state_survives_query_restart(spark, sf_small, tmp_path):
     s = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
     b = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_exact_cents_batch_matches_scalar_loop():
+    """The vectorized exact-cents fast path must equal the per-value
+    Decimal HALF_UP loop on every value class: 2-decimal corpus-like
+    values, adversarial x.xx5 tie boundaries (where float*100 rounding
+    and decimal HALF_UP disagree without the fallback), negatives,
+    near-tie offsets inside and outside the safe margin, large values
+    past the fast-path bound, and subnormal-small values."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_engineering_zoomcamp_my_test_spark.streaming.stateful import (
+        _make_exact_ledger_fn,
+    )
+
+    def scalar_cents(v):
+        return int(
+            Decimal(repr(float(v)))
+            .quantize(Decimal("0.01"), ROUND_HALF_UP)
+            .scaleb(2)
+        )
+
+    values = [
+        12.34, -12.34, 0.0, 99.99, -0.01,
+        # tie boundaries: repr is exactly x.xx5 -> HALF_UP away from zero,
+        # while the float product 100*x sits a hair off the boundary
+        2.675, -2.675, 2.665, -2.665, 0.005, -0.005, 1.015, 8.835,
+        # near-tie but not a tie (inside/outside the 2e-7 margin)
+        2.6750001, 2.6749999, 1.0149999999, 1.0150000001,
+        # big values beyond the fast-path bound, and tiny ones
+        1.5e6, -2.5e7, 1e-8, -1e-8, 123456.785,
+    ]
+    rng = np.random.default_rng(42)
+    values += [round(float(x), 2) for x in rng.uniform(-1e4, 1e4, 500)]
+    values += [float(x) for x in rng.uniform(-1e4, 1e4, 500)]
+
+    # reach the inner batch function through the ledger fn's closure
+    ledger = _make_exact_ledger_fn()
+    cells = {
+        name: cell.cell_contents
+        for name, cell in zip(
+            ledger.__code__.co_freevars, ledger.__closure__
+        )
+    }
+    cents_batch = cells["_cents_batch"]
+
+    s = pd.Series(values, dtype="float64")
+    assert cents_batch(s) == sum(scalar_cents(v) for v in values)
+    # per-value agreement (not just the lucky sum): singleton batches
+    for v in values[:30]:
+        assert cents_batch(pd.Series([v], dtype="float64")) == scalar_cents(
+            v
+        ), v
+    # empty batch
+    assert cents_batch(pd.Series([], dtype="float64")) == 0

@@ -600,10 +600,18 @@ def l2_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection explodes this to scalar rows (see c38_l2_normalize)."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm = l2_norm("embedding")
+    # The norm must NOT appear inside a transform() lambda: Catalyst
+    # inlines the aggregate into the lambda body and evaluates it once
+    # PER ELEMENT — O(d^2) per row (measured 5.3x slower at d=64; a
+    # two-projection hoist is re-inlined by CollapseProject, also
+    # measured). array_repeat evaluates the aggregate once per row and
+    # zip_with divides elementwise — identical arithmetic, O(d).
     return emb.select(
         "vec_id",
-        F.transform(
-            F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 6)
+        F.zip_with(
+            F.col("embedding"),
+            F.array_repeat(norm, F.size(F.col("embedding"))),
+            lambda x, n: F.round(x.cast("double") / n, 6),
         ).alias("unit_vec"),
     )
 
@@ -635,12 +643,19 @@ def quantize_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
     )
     scale = F.lit(127.0) / max_abs
+    # Same hoist as l2_normalize_embeddings: a scale expression inside
+    # the transform() lambda is evaluated per ELEMENT (the max_abs
+    # aggregate is O(d), making the row O(d^2)); array_repeat evaluates
+    # it once per row and zip_with multiplies elementwise — identical
+    # arithmetic. The scalar `scale` output column is once-per-row
+    # either way.
     return emb.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
-        F.transform(
+        F.zip_with(
             F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+            F.array_repeat(scale, F.size(F.col("embedding"))),
+            lambda x, s: F.floor(x.cast("double") * s + 0.5).cast("int"),
         ).alias("q_vec"),
     )
 

@@ -674,3 +674,22 @@ def test_pagerank_iteration_plan_is_keyed_joins_no_cartesian(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # partial aggregation before the dst-keyed exchange (map-side combine)
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_array_normalize_hoists_norm_out_of_lambda(spark, sf_small):
+    """c38/c39: the per-row norm/scale aggregate must NOT sit inside a
+    transform() lambda — Catalyst inlines it there and evaluates it once
+    per ELEMENT (O(d^2) per row; measured 3.3x at d=64).  The shipped
+    zip_with/array_repeat form evaluates it once per row; a two-step
+    projection does NOT pin this (CollapseProject re-inlines it)."""
+    for decl in ("c38_l2_normalize", "c39_quantize_int8"):
+        df = all_queries()[decl](spark, sf_small)
+        plan = explain_str(df, "formatted")
+        proj = [
+            ln
+            for ln in plan.splitlines()
+            if "aggregate(" in ln and "lambdafunction" in ln
+        ]
+        for ln in proj:
+            assert "transform(" not in ln, (decl, ln)
+            assert "array_repeat" in ln or "zip_with" in ln, (decl, ln)

@@ -1350,10 +1350,17 @@ def b59_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01"))
         & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01"))
     )
+    # pair_qty feeds BOTH the mean threshold and the qualifying filter;
+    # unlike b54/b55 the duplicated aggregate subtrees are NOT runtime-
+    # reused (the threshold side sits under the BNLJ's broadcast — the
+    # executed plan showed two full lineitem scans + two pair
+    # aggregates), so the shared relation is materialized once, same
+    # lineage-cut policy as the Jaccard/moments engines.
     pair_qty = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
+        .localCheckpoint()
     )
     mean_qty = pair_qty.agg(
         (F.sum("_qty") / F.count(F.lit(1))).alias("_mean_qty")

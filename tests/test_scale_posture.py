@@ -693,3 +693,19 @@ def test_array_normalize_hoists_norm_out_of_lambda(spark, sf_small):
         for ln in proj:
             assert "transform(" not in ln, (decl, ln)
             assert "array_repeat" in ln or "zip_with" in ln, (decl, ln)
+
+
+def test_q20_pair_aggregate_materialized_once(spark, sf_small):
+    """b59: pair_qty feeds both the mean threshold and the qualifying
+    filter; without the lineage cut the executed plan held TWO full
+    lineitem scans + two pair aggregates (runtime exchange reuse does
+    not fire across the BNLJ's broadcast side — unlike b54/b55)."""
+    df = all_queries()["b59_q20_semi_chain"](spark, sf_small)
+    df.collect()
+    live = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert live.count("lineitem.parquet") < 2, live

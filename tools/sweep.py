@@ -87,6 +87,14 @@ def main() -> int:
                 pass
         df.count()
 
+    # SPARK_GRAFT_SWEEP_GC=1 nudges the JVM between decls so the
+    # ContextCleaner releases the previous decl's dead localCheckpoint
+    # blocks before the next timing starts.  At sf0.1 the accumulated
+    # blocks are too small to matter (and the committed snapshot was
+    # recorded without the nudge — keep it off for snapshot-comparable
+    # runs); at generated decades they distort later decls by up to 10x
+    # (sf1: c64 68.9 s polluted vs 7.2 s fresh vs 14.1 s with the nudge).
+    gc_between = os.environ.get("SPARK_GRAFT_SWEEP_GC") == "1"
     timings: dict[str, float | str] = {}
     failed = False
     for name, fn in queries.items():
@@ -97,6 +105,8 @@ def main() -> int:
         except Exception as exc:  # surface, keep sweeping
             timings[name] = f"ERR: {str(exc)[:120]}"
             failed = True
+        if gc_between:
+            spark._jvm.System.gc()  # noqa: SLF001
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 1)
     print(
         json.dumps(

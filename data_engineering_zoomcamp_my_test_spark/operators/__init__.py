@@ -44,14 +44,14 @@ _PRIORITY = (
     "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
     # Tier B core SQL surface (B1-B28)
     "b1_filter_pred", "b2_project_expr", "b3_groupby_agg", "b4_distinct",
-    "b6_join_inner", "b7_join_multiway",
+    "b5_approx_distinct", "b6_join_inner", "b7_join_multiway",
     "b8_join_left", "b9_join_anti", "b10_join_range",
     "b11_cross", "b12_subq_scalar", "b13_rollup", "b14_win_rank",
     "b15_win_lag", "b16_win_frame",
     "b17_sort", "b18_topk",
     "b19_setops", "b20_case", "b21_string_fns",
     "b22_date_fns", "b23_math_fns", "b24_nulls", "b25_cast",
-    "b28_array_fns",
+    "b26_cte", "b27_having", "b28_array_fns",
     # Tier C mandated rows C1-C10.  The same-row companions that used to sit
     # here (c13_knn_all, c9b_session_window, c21_json_agg, b9_join_semi's twin
     # stays via b9_join_anti) are driver-green as of r3 and not SURVEY-mandated
@@ -186,11 +186,16 @@ _PRIORITY = (
     # Rule-3 queue unchanged for r14+: c36/c43/c46 (r2), then the r3
     # batch (b9_join_semi c13_knn_all c21_json_agg c32_profile
     # c49_token_budget_mix c51_from_json c9b_session_window).
-    "b55_q2_min_cost_supplier", "b56_q9_profit_by_nation_year",
-    "b57_q12_priority_class", "b58_q16_supplier_cnt",
-    "b59_q20_semi_chain", "b60_q21_waiting_suppliers",
-    "c89_streaming_upsert", "c90_pagerank", "c91_bm25",
-    "c92_triangle_count",
+    # Round 14 (VERDICT r13 #7): the 10 r13 rule-1 seats (b55-b60,
+    # c89-c92 — all hash-green in CORRECTNESS_r13) rotate out, and the
+    # r13 one-round swap is honored: b5_approx_distinct / b26_cte /
+    # b27_having are RESTORED to the pins above (rule 2), growing the
+    # pinned block back to 43. The 7 remaining seats follow the rule-3
+    # oldest-driver-row queue: the r2-era trio c36/c43/c46, then four of
+    # the r3 batch (b9_join_semi, c13_knn_all, c21_json_agg,
+    # c32_profile); c49/c51/c9b queue for r15.
+    "c36_dedup_clusters", "c43_keep_best_per_cluster", "c46_decontaminate",
+    "b9_join_semi", "c13_knn_all", "c21_json_agg", "c32_profile",
 )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dmoney_sum, money
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table
 
 
@@ -760,7 +761,7 @@ def pagerank(
       iteration, same values (the left join's null arm is unreachable
       when every node receives a contribution).
     """
-    cut = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    cut = lineage_cut if checkpoint else (lambda df: df)
     edges = cut(edges)
     if nodes is None:
         nodes = edges.select(F.col(src_col).alias(node_col)).distinct()
@@ -924,7 +925,7 @@ def oriented_triangles(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     Exchanges, zero ReusedExchange) — at 100x that is 15 redundant
     passes over the fact table. ``checkpoint=False`` keeps the pure
     composed plan inspectable for plan-posture tests."""
-    cut = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    cut = lineage_cut if checkpoint else (lambda df: df)
     edges = cut(edges)
     deg = (
         edges.select(

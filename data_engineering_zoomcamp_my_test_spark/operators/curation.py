@@ -40,6 +40,7 @@ from ..functions.text import (
     normalized_text,
     token_count,
 )
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table
 from .dedup import _SHINGLE_SET_EXPR
 from .text import _HITS, _NTOK, shard_assign
@@ -97,7 +98,7 @@ def curate_corpus(
         .withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("rep"))
         .drop("nt", "rep")
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
 
     # Stage 4: decontamination. Held-out distinct shingles broadcast; the

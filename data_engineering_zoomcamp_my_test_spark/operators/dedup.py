@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import normalized_text
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table
 
 logger = logging.getLogger(__name__)
@@ -200,7 +201,7 @@ def lsh_candidate_pairs(
     # reference, so without a lineage cut the whole signature pipeline
     # (shingle explode + 32 array_min hash evaluations per doc) executes
     # twice — the same shared-relation policy as _simhash_band_pairs.
-    bands = (minhash_bands_jvm(docs) if jvm else minhash_bands(docs)).localCheckpoint()
+    bands = (minhash_bands_jvm(docs) if jvm else minhash_bands(docs)).transform(lineage_cut)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -294,7 +295,7 @@ def _collapse_exact(
     with_rep = docs.withColumn(
         "rep_id",
         F.when(singleton, F.col("doc_id")).otherwise(F.min("doc_id").over(w)),
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     mapping = with_rep.select("doc_id", "rep_id")
     reps = with_rep.filter(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
     return mapping, reps
@@ -491,7 +492,7 @@ def token_jaccard_pairs(
             toks_expr.alias("toks"),
         )
         .withColumn("n_tok", F.size("toks"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     # Two-step plan probe, cheap in the big-corpus case: first scan a
     # bounded document sample — if IT already exceeds 64 distinct tokens,
@@ -534,7 +535,7 @@ def _jaccard_pairs_bitset(
     # sides; cut once so it is computed once.
     m = base.select(
         "doc_id", *([block_col] if block_col else []), mask.alias("mask"), "n_tok"
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     a, b = m.alias("a"), m.alias("b")
     cond = (
         (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -605,7 +606,7 @@ def _jaccard_pairs_prefix(
     # lineage here materializes the explode -> frequency join -> rank
     # window chain once instead of twice (the two window Exchanges are not
     # recognized as reusable once one side broadcasts).
-    prefix = ranked.filter(F.col("rnk") <= prefix_len).localCheckpoint()
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).transform(lineage_cut)
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (
@@ -765,7 +766,7 @@ def _simhash_band_pairs(
     # both self-join sides reference ``bands``, and Catalyst inlines each
     # reference — without a lineage cut the whole upstream fingerprint
     # pipeline (token explode + per-bit vote aggregate) executes twice
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -833,7 +834,7 @@ def connected_components_star(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     prev_cnt = e.count()
     for _ in range(max_iter):
@@ -857,7 +858,7 @@ def connected_components_star(
             .where(F.col("n") != F.col("m"))
             .select(F.col("n").alias("a"), F.col("m").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(lineage_cut)
         )
         cnt = ss.count()
         if cnt == prev_cnt and ss.exceptAll(e).isEmpty():
@@ -976,8 +977,8 @@ def connected_components(
         if small:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             spark.conf.set("spark.sql.shuffle.partitions", "8")
-            labels = labels.repartition(1)
-        labels = labels.localCheckpoint()
+            labels = labels.repartition(1)  # bounded-input: small-graph arm
+        labels = labels.transform(lineage_cut)
         prev_sum = None
         for _ in range(max_iter):
             lab = F.broadcast(labels) if small else labels
@@ -988,8 +989,8 @@ def connected_components(
                 F.min("label").alias("label")
             )
             if small:
-                merged = merged.repartition(1)
-            merged = merged.localCheckpoint()
+                merged = merged.repartition(1)  # bounded-input: small-graph arm
+            merged = merged.transform(lineage_cut)
             # exact (DECIMAL) sum: strictly decreases until the fixpoint
             cur_sum = merged.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
@@ -1209,7 +1210,7 @@ def simhash_moments(
     # cut lineage so the text-keyed aggregate runs once (guide §2.4)
     groups = base.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     # (a _spread_for_cpu before the fingerprint build was A/B-measured
     # slower here — simhash's bitwise vote sums are cheap enough that the
     # round-robin shuffle costs more than the parallelism buys, unlike
@@ -1285,7 +1286,7 @@ def minhash_moments(
     # runs once instead of four times (guide §2.4).
     groups = base.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("sz")
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     # AQE coalesces the small text-keyed shuffle to ~1 partition; without a
     # spread the k-hash signature build (the CPU-dominant stage) runs on
     # one core. Round-robin repartition of the collapsed relation is
@@ -1340,7 +1341,7 @@ def minhash_moments(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     # the band relation feeds both sides of the bucket self-join — cut it
     # so the shingle explode + k-hash aggregate runs once, not twice
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     a, b = bands.alias("a"), bands.alias("b")
     rep_pairs = (
         a.join(
@@ -1545,7 +1546,7 @@ def dup_spans(
     # join side consumes grams unshuffled), so without a lineage cut the
     # k-gram explode executes twice. One materialization of the gram
     # relation beats a second corpus tokenization + slice pass.
-    grams = grams.localCheckpoint()
+    grams = grams.transform(lineage_cut)
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -16,9 +16,48 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dmoney_sum, money
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table
 
 SESSION_GAP_MINUTES = 30
+
+
+def _drop_width(spark: SparkSession, sf_dir: str, floor_n: int = 4) -> int:
+    """Byte-derived landing width for streaming replay drop files
+    (guide §2.2 — scale-adaptive partitioning, not a local constant).
+
+    The streaming exact-oracle decls re-land the events table as parquet
+    drops before replaying them. r13 made the REPLAY side's shuffle
+    partitioning byte-derived but left the landing write at
+    ``repartition(4)`` — a fixed parallelism constant that would push the
+    whole fact table through 4 write tasks at any scale (VERDICT r13 #2).
+    Same rule as the replay side: ceil(source bytes / target, default
+    32 MB via ``$SPARK_GRAFT_STREAM_PARTITION_BYTES``), FLOORED at the
+    decl's documented micro-batch minimum — the replays run
+    ``maxFilesPerTrigger=1``, so drop-file count == micro-batch count and
+    the cross-batch state-merge evidence needs >= ``floor_n`` batches; at
+    every test SF the events table sits far below one 32 MB chunk, so the
+    local drop layout (and each replay's micro-batch structure) stays
+    byte-identical to the fixed-width rounds — and capped at the session
+    shuffle-partition setting, which at cluster scale is the cluster's
+    own parallelism, not this repo's local default. Replay exactness is
+    slicing-invariant by construction (complete-mode/watermark arguments
+    in each decl's docstring, fuzzed across random slicings in
+    tools/fuzz_streaming.py), so the width moves only cost, never results.
+    """
+    import os
+
+    from ..streaming.windows import dir_bytes
+
+    target = int(
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITION_BYTES", 32 * 1024 * 1024)
+    )
+    n = max(floor_n, -(-dir_bytes(os.path.join(sf_dir, "events.parquet")) // target))
+    try:
+        session_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - conf always present in practice
+        return n
+    return min(n, session_sp) if session_sp >= floor_n else n
 
 
 def c7_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +307,7 @@ def mad_anomaly(ev: DataFrame, threshold: float = 3.5) -> DataFrame:
     # inlines each reference, so without a lineage cut the corpus-sized
     # rollup (the ONE events pass this plan pays) executes twice. The
     # materialized relation is (type x hour) rows — calendar-bounded.
-    hourly = hourly.localCheckpoint()
+    hourly = hourly.transform(lineage_cut)
     med = hourly.groupBy("event_type").agg(
         F.percentile("n_events", F.lit(0.5)).alias("med")
     )
@@ -341,7 +380,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     # size filter AND the final join: each inlined reference re-runs the
     # events scan + distinct. Cut both — active is (users x weeks) rows,
     # cells is calendar-bounded — so the corpus is scanned once.
-    active = events.select("user_id", wk.alias("wk")).distinct().localCheckpoint()
+    active = events.select("user_id", wk.alias("wk")).distinct().transform(lineage_cut)
     first = active.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     cells = (
         active.join(first, "user_id")
@@ -352,7 +391,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .groupBy("cohort", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     size = cells.filter(F.col("week_offset") == 0).select(
         "cohort", F.col("n_users").alias("_size")
@@ -428,7 +467,7 @@ def c66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # atexit reclaims (ADVICE r8: repeated sweeps leaked unbounded /tmp).
     sink_dir = ephemeral_dir("c66_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir)).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_tumbling_agg(
             spark,
             drop_dir,
@@ -481,7 +520,7 @@ def c78_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoped ephemeral dir: outlives this call, reclaimed at exit.
     sink_dir = ephemeral_dir("c78_state_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir)).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_session_agg(
             spark,
             drop_dir,
@@ -515,7 +554,7 @@ def c80_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     drop_dir = ephemeral_dir("c80_drops_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir)).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_sliding_agg(
             spark,
             drop_dir,
@@ -557,7 +596,7 @@ def c86_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_dir = ephemeral_dir("c86_drops_")
     ckpt_dir = ephemeral_dir("c86_ckpt_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir)).write.mode("overwrite").parquet(drop_dir)
         out = run_streaming_attribution_replay(
             spark,
             drop_dir,
@@ -604,7 +643,7 @@ def c87_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_dir = ephemeral_dir("c87_drops_")
     ckpt_dir = ephemeral_dir("c87_ckpt_")
     try:
-        ev.repartition(2).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir, floor_n=2)).write.mode("overwrite").parquet(drop_dir)
         base_files = sorted(
             f for f in os.listdir(drop_dir) if f.endswith(".parquet")
         )
@@ -658,7 +697,7 @@ def c88_streaming_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_dir = ephemeral_dir("c88_drops_")
     ckpt_dir = ephemeral_dir("c88_ckpt_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir)).write.mode("overwrite").parquet(drop_dir)
         out = streaming_user_ledger_exact(
             spark,
             drop_dir,
@@ -696,7 +735,7 @@ def c89_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_dir = ephemeral_dir("c89_drops_")
     ckpt_dir = ephemeral_dir("c89_ckpt_")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(drop_dir)
+        ev.repartition(_drop_width(spark, sf_dir)).write.mode("overwrite").parquet(drop_dir)
         base_files = sorted(
             f for f in os.listdir(drop_dir) if f.endswith(".parquet")
         )

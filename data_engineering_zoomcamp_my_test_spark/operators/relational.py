@@ -38,6 +38,7 @@ from ..functions.exprs import (
     money_avg,
     ts_lit,
 )
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table, register_tables
 
 
@@ -1355,12 +1356,16 @@ def b59_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused (the threshold side sits under the BNLJ's broadcast — the
     # executed plan showed two full lineitem scans + two pair
     # aggregates), so the shared relation is materialized once, same
-    # lineage-cut policy as the Jaccard/moments engines.
+    # lineage-cut policy as the Jaccard/moments engines. NOTE (ADVICE
+    # r13): the cut is EAGER — merely constructing this DataFrame (e.g.
+    # explain-only tooling) runs the lineitem join+aggregate job. That is
+    # deliberate and repo-wide for cut relations; SPARK_GRAFT_LINEAGE_CUT
+    # =off restores a lazily-composed plan when inspection needs one.
     pair_qty = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     mean_qty = pair_qty.agg(
         (F.sum("_qty") / F.count(F.lit(1))).alias("_mean_qty")

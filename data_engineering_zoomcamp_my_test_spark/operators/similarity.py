@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_product, l2_norm
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table
 
 
@@ -328,7 +329,7 @@ def _collapse_identical_vectors(
     w = Window.partitionBy(*extra_keys, "embedding")
     with_rep = embeddings.withColumn(
         "rep_id", F.min("vec_id").over(w)
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     mapping = with_rep.select("vec_id", "rep_id")
     reps = with_rep.filter(F.col("vec_id") == F.col("rep_id")).drop("rep_id")
     return mapping, reps
@@ -530,7 +531,7 @@ def lsh_blocked_neardup(
     # (vec_id + bucket key only — see the comment above).
     buckets = proj.select(
         "vec_id", F.posexplode(keys).alias("_table", "_bucket")
-    ).localCheckpoint()
+    ).transform(lineage_cut)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

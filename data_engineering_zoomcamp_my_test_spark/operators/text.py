@@ -19,6 +19,7 @@ from ..functions.text import (
     normalized_text,
     token_count,
 )
+from ..lineage import cut as lineage_cut
 from ..sources.tables import load_table
 
 # Polynomial rolling-hash fingerprint over the normalized text characters:
@@ -228,7 +229,7 @@ def bm25_scores(
         toks.join(F.broadcast(q), "tok")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     # df per query term: tf is one row per (doc, term), so count(*) = df
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -834,7 +835,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         docs.filter(n >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     head = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -910,10 +911,10 @@ def pmi_collocations(
     big = (
         bi.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()
+        .transform(lineage_cut)
     )
     unic = (
-        uni.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+        uni.groupBy("t").agg(F.count(F.lit(1)).alias("c")).transform(lineage_cut)
     )
     totals = big.agg(F.sum("c12").alias("b_total")).crossJoin(
         unic.agg(F.sum("c").alias("t_total"))

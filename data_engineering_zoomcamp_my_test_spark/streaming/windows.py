@@ -44,6 +44,24 @@ LAST_RUN_BATCHES: dict[str, int] = {}
 LAST_RUN_STATE: dict[str, dict[str, int]] = {}
 
 
+def dir_bytes(path: str) -> int:
+    """Total data bytes under ``path`` — a parquet directory or a single
+    file (the driver's testdata tables are bare files). Skips
+    _SUCCESS/.crc metadata. Returns 0 on any filesystem error — callers
+    fall back to their floor."""
+    total = 0
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return 0
+    return total
+
+
 def _replay_shuffle_partitions(
     spark: SparkSession, source_dir: str
 ) -> tuple[str | None, int]:
@@ -67,13 +85,8 @@ def _replay_shuffle_partitions(
     target = int(
         os.environ.get("SPARK_GRAFT_STREAM_PARTITION_BYTES", 32 * 1024 * 1024)
     )
-    total = 0
-    try:
-        for root, _dirs, files in os.walk(source_dir):
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    total += os.path.getsize(os.path.join(root, f))
-    except OSError:
+    total = dir_bytes(source_dir)
+    if total <= 0:
         return None, 0
     try:
         session_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))

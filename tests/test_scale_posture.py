@@ -234,15 +234,11 @@ def test_driver_window_contains_all_mandated_decls():
     out in round 4 to widen the rotation window — their mandated twins
     (c3/c9/c10/b9_join_anti) remain pinned."""
     names = list(all_queries())[:50]
-    # Round 13: the r12 fifth-batch swap is honored (b1/b2/b4/b6/b8/
-    # b9_join_anti/b18 restored under rule 2); rule 1 seats the ten
-    # r12-built decls (b55-b60, c89-c92), paid for by the SIXTH-batch
-    # one-round pin swap (operators/__init__.py): b5_approx_distinct
-    # b26_cte b27_having step out for exactly this round (green every
-    # seated round, untouched per-decl code, covered by the sf0.01/
-    # sf0.1 parity sweeps) and return in round 14 under rule 2 — at
-    # which point this set goes back to empty.
-    swapped_out: set[str] = {"b5_", "b26_", "b27_"}
+    # Round 14: the r13 sixth-batch swap is honored — b5/b26/b27 are
+    # restored under rule 2, so the swapped-out set is EMPTY again and
+    # the full 43-pin block is seated. The 7 rotation seats follow the
+    # rule-3 oldest-driver-row queue (operators/__init__.py).
+    swapped_out: set[str] = set()
     mandated = [
         "a8_count_star", "a9_limit", "a10_project_first10", "a11_lit_col",
         *[f"b{i}_" for i in range(1, 29)],  # prefixes checked below
@@ -259,27 +255,30 @@ def test_driver_window_contains_all_mandated_decls():
             assert m in names, f"{m} fell out of the driver's 50-query window"
     # Rotation seats follow the standing policy (operators/__init__.py):
     # rule-1 re-seats for code churned since the last driver row, rule-2
-    # returning pins, then rule-3 oldest-driver-row round-robin. The r13
-    # window is 40 pins + 10 seats (the r12-built b55-b60 and c89-c92);
-    # every seat carries an exact oracle.
+    # returning pins, then rule-3 oldest-driver-row round-robin. The r14
+    # window is 43 pins + 7 rule-3 seats (c36/c43/c46 from the r2 queue,
+    # b9_join_semi/c13/c21/c32 from the r3 batch).
     from data_engineering_zoomcamp_my_test_spark.operators import all_oracle_sql
 
-    seats = names[40:]
-    assert len(seats) == 10
+    seats = names[43:]
+    assert len(seats) == 7
     oracles = all_oracle_sql()
-    rows_only_seats: set[str] = set()
+    # b5_approx_distinct is the only seated rows-only decl (approx HLL
+    # counts have no DuckDB-exact oracle by design).
+    rows_only_seats: set[str] = {"b5_approx_distinct"}
     for s in seats:
         assert s in oracles or s in rows_only_seats, (
             f"rotation seat {s} has no exact oracle and is not a "
             "documented rows-only seat"
         )
-    # the swapped-out pins must still be registered; b26/b27 stay
-    # oracle-bearing (b5_approx_distinct is rows-only by design)
+    # last round's rotated-out seats must all still be registered
     registry = set(all_queries())
-    swapped_names = {"b5_approx_distinct", "b26_cte", "b27_having"}
-    for s in swapped_names:
-        assert s in registry
-        assert s in oracles or s == "b5_approx_distinct"
+    for s in ("b55_q2_min_cost_supplier", "b56_q9_profit_by_nation_year",
+              "b57_q12_priority_class", "b58_q16_supplier_cnt",
+              "b59_q20_semi_chain", "b60_q21_waiting_suppliers",
+              "c89_streaming_upsert", "c90_pagerank", "c91_bm25",
+              "c92_triangle_count"):
+        assert s in registry, f"rotated-out decl {s} disappeared"
 
 
 def test_repetition_stats_single_shuffle_no_join(spark, sf_small):
@@ -690,6 +689,10 @@ def test_array_normalize_hoists_norm_out_of_lambda(spark, sf_small):
             for ln in plan.splitlines()
             if "aggregate(" in ln and "lambdafunction" in ln
         ]
+        # ADVICE r13: fail loudly if the pattern stops matching (e.g. a
+        # future Spark renames the formatted-explain expressions) — a
+        # vacuous pass here would let the O(d^2) regression go unnoticed.
+        assert proj, (decl, plan)
         for ln in proj:
             assert "transform(" not in ln, (decl, ln)
             assert "array_repeat" in ln or "zip_with" in ln, (decl, ln)
@@ -708,4 +711,82 @@ def test_q20_pair_aggregate_materialized_once(spark, sf_small):
         .toString()
         .split("+- == Initial Plan ==")[0]
     )
-    assert live.count("lineitem.parquet") < 2, live
+    # ADVICE r13: with the eager lineage cut the live plan has ZERO
+    # lineitem scans (both consumers read the materialized pair relation);
+    # "< 2" would still pass a partial regression that re-scans once.
+    assert live.count("lineitem.parquet") == 0, live
+
+
+def test_lineage_cut_postures(spark, sf_small, monkeypatch):
+    """lineage.cut (r14): one policy point for the ~20 shared-relation
+    materializations. off = identity plan; local = RDD scan with lineage
+    truncated; reliable = reliable checkpoint (survives executor loss),
+    installing a fallback checkpoint dir when none is set."""
+    from data_engineering_zoomcamp_my_test_spark import lineage
+
+    df = spark.read.parquet(f"{sf_small}/nation.parquet").select("n_nationkey")
+    n = df.count()
+
+    monkeypatch.setenv("SPARK_GRAFT_LINEAGE_CUT", "off")
+    assert lineage.cut(df) is df
+
+    monkeypatch.setenv("SPARK_GRAFT_LINEAGE_CUT", "local")
+    local = lineage.cut(df)
+    assert local.count() == n
+    assert "Scan ExistingRDD" in explain_str(local, "simple")
+    assert local._jdf.queryExecution().analyzed().toString().count("Relation") <= 1
+
+    monkeypatch.setenv("SPARK_GRAFT_LINEAGE_CUT", "reliable")
+    rel = lineage.cut(df)
+    assert rel.count() == n
+    assert "Scan ExistingRDD" in explain_str(rel, "simple")
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+
+    monkeypatch.setenv("SPARK_GRAFT_LINEAGE_CUT", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lineage.cut(df)
+
+
+def test_streaming_drop_width_is_byte_derived(spark, sf_small, monkeypatch):
+    """VERDICT r13 #2: the replay landing width must derive from source
+    bytes (floor = the documented micro-batch minimum, cap = session
+    shuffle partitions), not a fixed repartition constant. At test SFs the
+    events table is far below one 32 MB chunk, so the width equals the
+    floor — the historical drop layout — while a 100 TB source scales."""
+    from data_engineering_zoomcamp_my_test_spark.operators.events import (
+        _drop_width,
+    )
+
+    assert _drop_width(spark, sf_small) == 4
+    assert _drop_width(spark, sf_small, floor_n=2) == 2
+    # a big source scales the width: force a tiny per-partition target
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITION_BYTES", "1024")
+    wide = _drop_width(spark, sf_small)
+    assert wide > 4
+    # ... but never past the session's shuffle-partition setting
+    assert wide <= int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_no_fixed_width_repartition_constants_in_query_paths():
+    """VERDICT r13 #2 'done' condition: grep-clean of repartition(<int>)
+    in every operator/streaming module (scale-adaptive widths only)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "data_engineering_zoomcamp_my_test_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for i, ln in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.repartition\(\s*\d+\s*[,)]", ln):
+                # `# bounded-input:` marks widths on provably small
+                # relations (e.g. the CC small-graph arm, gated on a
+                # measured node count) — a deliberate choice, not a
+                # scale constant on a fact table.
+                if "# bounded-input:" in ln:
+                    continue
+                offenders.append(f"{py.name}:{i}: {ln.strip()}")
+    assert not offenders, offenders

@@ -790,3 +790,64 @@ def test_no_fixed_width_repartition_constants_in_query_paths():
                     continue
                 offenders.append(f"{py.name}:{i}: {ln.strip()}")
     assert not offenders, offenders
+
+
+# VERDICT r13 #1: per-headliner plan-posture pins, so a REAL plan
+# regression in the driver-benched set is detectable without wall clock
+# (the r13 bench drifted 0.65x on 14 untouched queries under 2.4% steal;
+# these pins are what lets a future round adjudicate noise vs regression
+# from artifacts alone). Ceilings/sets taken from plans/r14/*_before.txt.
+_HEADLINER_POSTURE = {
+    # name: (max Exchange substrings, required joins, forbidden joins,
+    #        required plan markers)
+    "b3_groupby_agg": (4, set(), {"SortMergeJoin", "CartesianProduct"}, ()),
+    "b7_join_multiway": (20, {"BroadcastHashJoin", "SortMergeJoin"},
+                         {"CartesianProduct", "BroadcastNestedLoopJoin"}, ()),
+    "b10_join_range": (6, {"BroadcastHashJoin"},
+                       {"CartesianProduct", "SortMergeJoin"}, ()),
+    "b14_win_rank": (2, set(), {"SortMergeJoin"}, ("WindowGroupLimit",)),
+    "b16_win_frame": (2, set(), {"SortMergeJoin"},
+                      ("LessThan(l_shipdate",)),
+    "b18_topk": (2, set(), {"SortMergeJoin"}, ("TakeOrderedAndProject",)),
+    "c1_dedup_exact": (2, set(), {"SortMergeJoin"}, ()),
+    "c3_cosine_topk": (4, {"BroadcastNestedLoopJoin"}, {"CartesianProduct"},
+                       ("WindowGroupLimit",)),
+    "c5_text_stats": (4, set(), {"SortMergeJoin"}, ()),
+    "c7_tumbling": (4, set(), {"SortMergeJoin"}, ()),
+    "c9_session": (2, set(), {"SortMergeJoin"}, ()),
+    "c10_json_extract": (0, set(), {"SortMergeJoin"}, ()),
+    "c23_asof_join": (2, set(), {"SortMergeJoin", "CartesianProduct"}, ()),
+    "c33_minhash_jvm": (2, set(), {"SortMergeJoin"}, ()),
+    "c34_rolling_1h": (2, set(), {"SortMergeJoin"}, ()),
+    "c37_tfidf_top_term": (16, {"BroadcastHashJoin"}, {"CartesianProduct"},
+                           ()),
+}
+
+_JOIN_NODES = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_bench_headliner_plan_posture(spark, sf_small):
+    """Every driver-benched headliner keeps its plan shape: Exchange count
+    at or under the r14 ceiling, the join strategies it was tuned for, no
+    Python boundary nodes, and its query-specific markers (window group
+    limit, top-k as TakeOrderedAndProject, the shipdate scan filter)."""
+    queries = all_queries()
+    failures = []
+    for name, (max_exch, req, forbid, markers) in _HEADLINER_POSTURE.items():
+        plan = explain_str(queries[name](spark, sf_small), "formatted")
+        joins = {j for j in _JOIN_NODES if j in plan}
+        if plan.count("Exchange") > max_exch:
+            failures.append(f"{name}: {plan.count('Exchange')} Exchanges "
+                            f"> pinned {max_exch}")
+        if not req <= joins:
+            failures.append(f"{name}: missing joins {req - joins}")
+        if joins & forbid:
+            failures.append(f"{name}: forbidden joins {joins & forbid}")
+        for m in markers:
+            if m not in plan:
+                failures.append(f"{name}: marker {m!r} absent")
+        for py_node in ("BatchEvalPython", "ArrowEvalPython"):
+            if py_node in plan:
+                failures.append(f"{name}: {py_node} in plan")
+    assert not failures, "\n".join(failures)

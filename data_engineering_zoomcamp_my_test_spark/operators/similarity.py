@@ -402,20 +402,55 @@ def _exact_blocked_neardup(
     """Exact cosine pairs inside explicit blocks — correct at any
     threshold, quadratic in the largest block (small-corpus baseline).
     Exact-copy groups are still collapsed first (same-block identical
-    vectors pair at cos == 1 without entering the quadratic join)."""
+    vectors pair at cos == 1 without entering the quadratic join).
+
+    Hot-block guard (r14, guide §2.5): a skewed block makes the
+    self-join's per-task work O(block^2) — one giant label at 100 TB is
+    a straggler/OOM. Oversized blocks are therefore SPLIT: per block,
+    k = ceil(rows / $SPARK_GRAFT_BLOCK_SALT_ROWS) (default 4096); the
+    left side gets a deterministic salt pmod(xxhash64(vec_id), k) and
+    the right side is replicated across all k salts, so the join key
+    becomes (block, salt). Every qualifying pair (a.vec_id < b.vec_id,
+    same block) still matches EXACTLY once — when b's replica salt
+    equals a's salt — so the pair set (and the oracle hash) is
+    unchanged; per-task work drops from O(n^2) to O(n^2/k) = O(n *
+    target) per salt group, and the k groups spread across tasks.
+    Blocks at or under the target get k=1: identical join behavior to
+    the unsalted form (the replicate explode is a single element).
+    AQE's skew-join split cannot do this — it cannot split one enormous
+    KEY, only oversized partitions of distinct keys (guide §2.5)."""
+    import os
+
     embeddings = _pairable_vectors(embeddings)
     collapsed = _collapse_identical_vectors(embeddings, extra_keys=(block_col,))
     if collapsed is not None:
         mapping, reps = collapsed
         rep_pairs = _exact_blocked_neardup(reps, threshold, block_col)
         return _expand_vec_pairs(rep_pairs, mapping)
+    target = int(os.environ.get("SPARK_GRAFT_BLOCK_SALT_ROWS", 4096))
     emb = embeddings.withColumn("_norm", l2_norm("embedding"))
-    a = emb.alias("a")
-    b = emb.alias("b")
+    splits = emb.groupBy(block_col).agg(
+        F.ceil(F.count(F.lit(1)) / target).cast("int").alias("_bk")
+    )
+    a = (
+        emb.join(splits, block_col)
+        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.col("_bk")))
+        .drop("_bk")
+        .alias("a")
+    )
+    b = (
+        emb.join(splits, block_col)
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_bk") - 1))
+        )
+        .drop("_bk")
+        .alias("b")
+    )
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

@@ -851,3 +851,39 @@ def test_bench_headliner_plan_posture(spark, sf_small):
             if py_node in plan:
                 failures.append(f"{name}: {py_node} in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_c18_hot_block_salted_join(spark, sf_small, monkeypatch):
+    """VERDICT r13 #3: the exact label-blocked pairwise cosine must join
+    on (block, salt) — salt = pmod(xxhash64(vec_id), ceil(n/target)) on
+    one side, replicated via explode(sequence(...)) on the other — so a
+    hot block's per-task work is bounded by the salt target instead of
+    O(block^2). Pin the plan shape AND pair-set equivalence on a skewed
+    synthetic block (tiny target => k>1 actually engages locally)."""
+    from data_engineering_zoomcamp_my_test_spark.operators.similarity import (
+        _exact_blocked_neardup,
+    )
+
+    df = all_queries()["c18_embed_neardup"](spark, sf_small)
+    plan = explain_str(df, "formatted")
+    assert "xxhash64(vec_id" in plan, "salt projection missing"
+    assert "explode(sequence(0" in plan, "replicate explode missing"
+
+    # skewed synthetic: ONE block of 600 vectors, d=8
+    emb = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.lit("hot").alias("label"),
+        F.expr(
+            "transform(sequence(1,8), "
+            "j -> cast(pmod(hash(id, j), 100) as double)/100.0)"
+        ).alias("embedding"),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_SALT_ROWS", "1000000000")
+    base = set(
+        map(tuple, _exact_blocked_neardup(emb, 0.9, "label").collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BLOCK_SALT_ROWS", "64")
+    salted = set(
+        map(tuple, _exact_blocked_neardup(emb, 0.9, "label").collect())
+    )
+    assert salted == base and base, (len(base), len(salted))

@@ -951,9 +951,23 @@ def oriented_triangles(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
             F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("ydeg"),
         )
     )
+    # r14 (guide §3.1 — pick the strategy deliberately): both joins are
+    # hinted SHUFFLE_HASH with the edge-sized relation as build side.
+    # Sort-merge was the planner default and it is exactly wrong here:
+    # (a) the closure join would SORT the wedge relation — the largest
+    # intermediate in the whole catalog (sum outdeg^2 rows) — by (b, c)
+    # before merging, and (b) the wedge self-join's merge buffers every
+    # hub key's match set per row. Hashing d instead streams both.
+    # Measured at sf1 (12M edges, local[32], noop): wedge+closure
+    # 310.8 s (SMJ) -> 105.2 s (closure SHJ) -> 23.5 s (both SHJ); cold
+    # end-to-end c92 242.7 s -> ~44 s. Scale posture: the BUILD side is
+    # always the edge relation, whose per-partition hash footprint is
+    # m/partitions rows (the cluster's shuffle-partition count scales
+    # with the fact tables; AQE skew-split handles SHJ since Spark 3.2),
+    # while the wedge relation only streams — never sorts, never builds.
     w = (
         d.alias("p")
-        .join(d.alias("q"), F.col("p.x") == F.col("q.x"))
+        .join(d.alias("q").hint("SHUFFLE_HASH"), F.col("p.x") == F.col("q.x"))
         .where(
             F.struct(F.col("p.ydeg"), F.col("p.y"))
             < F.struct(F.col("q.ydeg"), F.col("q.y"))
@@ -964,7 +978,9 @@ def oriented_triangles(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
             F.col("q.y").alias("c"),
         )
     )
-    closer = d.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    closer = d.select(F.col("x").alias("b"), F.col("y").alias("c")).hint(
+        "SHUFFLE_HASH"
+    )
     return w.join(closer, ["b", "c"])
 
 

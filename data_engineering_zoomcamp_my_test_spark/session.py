@@ -92,20 +92,19 @@ class EngineConfig:
             .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             .config("spark.ui.enabled", str(self.ui_enabled).lower())
             .config("spark.sql.cbo.enabled", "true")
-            # Runtime Bloom-filter injection (SPARK-32268, default ON) never
-            # fires at test SFs — the application side must scan >10 GB
-            # (applicationSideScanSizeThreshold), so this is inert locally —
-            # but at 100x the fact-fact joins (b7's lineitem⋈orders, the
-            # TPC-H shapes) qualify, and the default 10 MB creation-side
-            # cap then suppresses the filter exactly where it pays
-            # (guide §3.2: "for bigger build sides raise
-            # creationSideThreshold"). 256 MB admits a region-reduced
-            # orders/part build side at cluster scale; the filter is
-            # semantically transparent (no false negatives).
-            .config(
-                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-                str(256 * 1024 * 1024),
-            )
+            # NO runtime-Bloom-filter conf here, deliberately (r14,
+            # VERDICT r13 #4). r13 raised creationSideThreshold to 256 MB
+            # on the theory that it would fire for b7-shape fact joins at
+            # cluster scale; a 13.1 GB lineitem / 1.7 GB orders probe
+            # (tools/bloom_probe.py, plans/r14/bloom_probe_findings.txt)
+            # DISPROVED it: Spark 4.1's InjectRuntimeFilter only accepts a
+            # creation side that is a directly-filtered SCAN — it does not
+            # traverse the join subtrees every semi-reduced TPC-H shape
+            # here has — and independently bails when the creation row
+            # estimate exceeds maxNumItems (4M default; any fact-sized
+            # side). The knob was unreachable cargo cult; the repo's
+            # actual §3.2 posture is the explicit broadcast semi-join
+            # reduction b7/b55/b59 already implement.
             # localCheckpoint blocks are only released when the JVM
             # ContextCleaner sees the RDD become unreachable, which for idle
             # driver heaps waits for the periodic System.gc() — default
